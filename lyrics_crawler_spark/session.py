@@ -1,0 +1,53 @@
+"""SparkSession factory tuned for the crawl engine.
+
+Local-mode defaults follow the public PySpark guidance: shuffle
+partitions ≈ cores (not 200), AQE on for runtime re-planning and skew
+handling, Arrow on for every pandas-UDF boundary, UTC session timezone
+so DuckDB oracle comparisons are stable.
+
+On a real cluster the same builder is used via ``spark-submit
+--py-files``; only ``master`` and the memory knobs change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "lyrics_crawler_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or f"local[{cpus}]"
+    # local[N] → match shuffle width to N; cluster → caller sets it.
+    if shuffle_partitions is None:
+        if master.startswith("local["):
+            n = master[len("local[") : -1]
+            shuffle_partitions = cpus if n == "*" else int(n)
+        else:
+            shuffle_partitions = 200
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
