@@ -1,0 +1,689 @@
+"""The wave-loop crawl engine — Spark-native replacement for the
+reference's thread/queue machinery (base_crawler.py:45-145 and twins).
+
+Execution model (SURVEY.md §3.1 "Spark lifecycle equivalent"):
+
+    while pending work:
+        1. derive URL settlement state from the append-only fetch log
+        2. pick this wave's fetch set: per-site minimum pending depth
+           (BSP frontier expansion), per-host politeness budget top-k
+        3. one Arrow-batched fetch+parse pass (mapInPandas)
+        4. resolve non-leaf occurrences (F2 dispatch + the movie
+           count-equality skip D2), explode children with robots
+           anti-join + LIFO rank keys, MERGE the documents sink
+        5. commit one snapshot manifest (checkpoint; resume-safe)
+
+Why waves reproduce the single-threaded LIFO trace exactly:
+
+- Page content is a pure function of URL, so *who* fetches is free; the
+  trace is a deterministic function of (occurrence keys, per-URL failure
+  counts, skip rules), assembled relationally by :meth:`trace`.
+- Expansion of non-leaf pages never depends on crawl state in the
+  reference (no dedup for index/artist/page tasks) — except Type0's
+  movie skip (base_crawler.py:160-172), which only *suppresses*
+  duplicate movies; the engine defers exactly those duplicate-movie
+  decisions until their songs' fates are settled — the same information
+  the sequential oracle had when that duplicate popped (the expander's
+  whole subtree precedes it in LIFO order).
+- Leaf actions (fetched vs skipped_seen) depend only on which occurrence
+  holds the minimum DFS key — a window function, not a sequential scan.
+- A task dead-letters after max_err failed pops + one budget-check pop
+  (base_crawler.py:55-62); failures are deterministic per URL, so each
+  occurrence's retry ladder is reconstructed relationally.
+
+Scale notes (the 10^10-frontier design):
+- all state tables are append-only logs; a wave commits O(wave) bytes,
+  never O(state) — except the documents MERGE, which is copy-on-write
+  here and becomes an Iceberg merge-on-read MERGE INTO on a cluster;
+- the settlement join (frontier ⋈ fetch_log) is an equi-join on abs_url —
+  hash-partitioned, AQE-skew-handled; per-host politeness windows run
+  only for capped hosts (uncapped hosts never shuffle for selection);
+- site/robots dimensions are broadcast joins;
+- the fetch stage repartitions by URL hash (domain-salted spread,
+  north-rule axis B) so one giant host cannot pin a partition.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lyrics_crawler_spark.functions.textops import unescape_arr, unescape_str
+from lyrics_crawler_spark.operators.priority import child_key, seed_key
+from lyrics_crawler_spark.operators.spans_sql import spans_expr
+from lyrics_crawler_spark.sitegen.graph import SiteGraph, SiteSpec
+from lyrics_crawler_spark.sources.fetch_stage import FETCH_SCHEMA, make_fetch_parse
+from lyrics_crawler_spark.tables.store import SnapshotStore
+
+FRONTIER_SCHEMA = (
+    "dfs_key string, url string, abs_url string, host string, site string, "
+    "task_type int, depth int, movie string, movie_url string, artist string, "
+    "album string, album_url string, song string, wave_enq int"
+)
+
+FETCH_LOG_SCHEMA = (
+    "abs_url string, wave int, attempt int, ok boolean, bytes long, "
+    "partition_id int, user_agent string, host string, delay_s double, "
+    "children array<struct<url:string,label:string,child_type:int,album:string>>, "
+    "d_album string, d_lyrics string, d_singers array<string>, "
+    "d_directors array<string>, d_lyricists array<string>, d_other array<string>"
+)
+
+# politeness delay midpoint of randint(35, 60) (network_manager.py:44-46),
+# applied as *virtual* time — the engine never sleeps.
+DELAY_MIDPOINT_S = 47.5
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        specs: list[SiteSpec],
+        base_dir: str,
+        fetch_partitions: int | None = None,
+    ):
+        self.spark = spark
+        self.specs = specs
+        self.specs_by_site = {s.start_url: s for s in specs}
+        self.store = SnapshotStore(spark, base_dir)
+        self.fetch_partitions = fetch_partitions or int(
+            spark.conf.get("spark.sql.shuffle.partitions")
+        )
+        # site dimension (broadcast); host intentionally excluded — the
+        # frontier carries host, keeping joins unambiguous.
+        self.site_dim = spark.createDataFrame(
+            [
+                (
+                    s.start_url,
+                    s.dialect,
+                    s.topology,
+                    s.max_err,
+                    s.politeness_budget,
+                    DELAY_MIDPOINT_S if s.delay_request else 0.0,
+                )
+                for s in specs
+            ],
+            "site string, dialect string, topology int, max_err int, "
+            "budget int, delay_s double",
+        )
+        robots_rows = [(s.host, p) for s in specs for p in s.robots_disallow] or [
+            ("__none__", "__never__")
+        ]
+        self.robots = spark.createDataFrame(robots_rows, "host string, prefix string")
+
+    # ---------------- table access ----------------
+
+    def _read(self, table: str, schema: str) -> DataFrame:
+        df = self.store.read(table)
+        if df is None:
+            return self.spark.createDataFrame([], schema)
+        return df
+
+    def _stage_and_read(
+        self, table: str, df: DataFrame, wave: int, schema: str, staged: list
+    ) -> DataFrame:
+        """Stage an append snapshot unless empty; return a re-read of the
+        written file (downstream ops never recompute the plan). Empty
+        DataFrames are not written (an empty parquet dir can't be re-read
+        schema-safely) — callers get a typed empty frame instead."""
+        if len(df.take(1)) == 0:
+            return self.spark.createDataFrame([], schema)
+        entry = self.store.stage_append(table, df, wave)
+        staged.append(entry)
+        return self.spark.read.parquet(entry["path"])
+
+    def frontier(self) -> DataFrame:
+        return self._read("frontier", FRONTIER_SCHEMA)
+
+    def fetch_log(self) -> DataFrame:
+        return self._read("fetch_log", FETCH_LOG_SCHEMA)
+
+    def visits(self) -> DataFrame:
+        return self.fetch_log().select("abs_url", "wave", "attempt", "ok")
+
+    def parsed_view(self, log: DataFrame) -> DataFrame:
+        return log.where("ok").select(
+            "abs_url", "wave", "bytes", "children", "d_album", "d_lyrics",
+            "d_singers", "d_directors", "d_lyricists", "d_other",
+        )
+
+    def resolved(self) -> DataFrame:
+        return self._read(
+            "resolved", "dfs_key string, abs_url string, action string, wave int"
+        )
+
+    def documents(self) -> DataFrame | None:
+        return self.store.read("documents")
+
+    def metrics(self) -> DataFrame | None:
+        return self.store.read("metrics")
+
+    # ---------------- seeding (wave 0) ----------------
+
+    def _seed(self) -> None:
+        rows = []
+        for spec in self.specs:
+            graph = SiteGraph(spec)
+            # robots filter BEFORE rank: the reference filters at put()
+            # time, so surviving seeds keep their relative LIFO order.
+            allowed = [
+                u
+                for u in graph.seeds()
+                if not any(u.startswith(p) for p in spec.robots_disallow)
+            ]
+            n = len(allowed)
+            for i, u in enumerate(allowed):
+                rows.append(
+                    (
+                        seed_key(i, n), u, spec.start_url + u, spec.host,
+                        spec.start_url, 0, 0,
+                        None, None, None, None, None, None, 0,
+                    )
+                )
+        df = self.spark.createDataFrame(rows, FRONTIER_SCHEMA)
+        staged = [self.store.stage_append("frontier", df, 0)]
+        self.store.commit_wave(0, staged, {"seeds": len(rows)})
+
+    # ---------------- predicates ----------------
+
+    @staticmethod
+    def _nonleaf(topo, tt):
+        return (topo.isin(0, 1) & tt.isin(0, 1)) | ((topo == 2) & tt.isin(0, 1, 2))
+
+    @staticmethod
+    def _leaf(topo, tt):
+        return (topo.isin(0, 1) & (tt == 2)) | ((topo == 2) & (tt == 3))
+
+    @staticmethod
+    def _url_state(V: DataFrame) -> DataFrame:
+        return V.groupBy("abs_url").agg(
+            F.max("ok").alias("has_ok"),
+            F.sum(F.when(~F.col("ok"), 1).otherwise(0)).alias("n_fail"),
+        )
+
+    # ---------------- the wave loop ----------------
+
+    def run(self, max_waves: int | None = None) -> int:
+        """Run (or resume) to frontier exhaustion. Returns final wave."""
+        if self.store.last_wave() < 0:
+            self._seed()
+        wave = self.store.last_wave()
+        waves_done = 0
+        while max_waves is None or waves_done < max_waves:
+            if not self._run_wave(wave + 1):
+                break
+            wave += 1
+            waves_done += 1
+        return wave
+
+    def _run_wave(self, wave: int) -> bool:
+        Fr = self.frontier()
+        log = self.fetch_log()
+        R = self.resolved()
+        us = self._url_state(self.visits())
+        dim = F.broadcast(self.site_dim)
+
+        # distinct-URL work list (all occurrence fields per URL are equal
+        # except depth/dfs_key, aggregated min)
+        urls = (
+            Fr.groupBy("abs_url")
+            .agg(
+                F.first("site").alias("site"),
+                F.first("host").alias("host"),
+                F.first("url").alias("url"),
+                F.first("task_type").alias("task_type"),
+                F.min("depth").alias("depth"),
+                F.min("dfs_key").alias("min_key"),
+            )
+            .join(dim, "site")
+            .join(us, "abs_url", "left")
+            .withColumn("has_ok", F.coalesce("has_ok", F.lit(False)))
+            .withColumn("n_fail", F.coalesce("n_fail", F.lit(0)))
+        )
+        pending = urls.where(~F.col("has_ok") & (F.col("n_fail") < F.col("max_err")))
+
+        # unresolved non-leaf occurrences over already-fetched URLs
+        occ_dim = Fr.join(dim, "site")
+        # NB: DFS keys are only unique *within* a site (every site's first
+        # seed is 00000000) — all resolution joins key on (dfs_key, abs_url).
+        unresolved = (
+            occ_dim.where(self._nonleaf(F.col("topology"), F.col("task_type")))
+            .join(R.select("dfs_key", "abs_url"), ["dfs_key", "abs_url"], "left_anti")
+            .join(us.where("has_ok").select("abs_url"), "abs_url", "left_semi")
+        )
+
+        n_pending = pending.count()
+        n_unresolved = unresolved.count()
+        if n_pending == 0 and n_unresolved == 0:
+            return False
+
+        staged: list[dict] = []
+        new_log = None
+        t0 = time.time()
+        n_fetched = 0
+
+        if n_pending > 0:
+            # per-SITE minimum pending depth (depth-settled BSP frontier)
+            wsite = Window.partitionBy("site")
+            at_depth = pending.withColumn(
+                "site_min_depth", F.min("depth").over(wsite)
+            ).where(F.col("depth") == F.col("site_min_depth"))
+
+            # politeness: per-host budget top-k by DFS key; uncapped hosts
+            # bypass the window entirely (no shuffle for them).
+            capped = at_depth.where(F.col("budget").isNotNull())
+            uncapped = at_depth.where(F.col("budget").isNull())
+            whost = Window.partitionBy("host").orderBy("min_key")
+            capped_sel = (
+                capped.withColumn("rn", F.row_number().over(whost))
+                .where(F.col("rn") <= F.col("budget"))
+                .drop("rn")
+            )
+            wave_urls = uncapped.unionByName(capped_sel).select(
+                "site", "abs_url", "url", "task_type", "host", "delay_s",
+                F.col("n_fail").cast("int").alias("attempt"),
+            )
+
+            # fetch+parse: repartition by URL hash = domain-salted spread
+            fetched = wave_urls.select(
+                "site", "abs_url", "url", "task_type", "attempt"
+            ).repartition(self.fetch_partitions, "abs_url").mapInPandas(
+                make_fetch_parse(self.specs_by_site), FETCH_SCHEMA
+            )
+            new_log_df = (
+                fetched.join(
+                    wave_urls.select("abs_url", "host", "delay_s"), "abs_url"
+                )
+                .withColumn("wave", F.lit(wave))
+                .selectExpr(
+                    "abs_url", "wave", "attempt", "ok", "bytes", "partition_id",
+                    "user_agent", "host", "delay_s", "children", "d_album",
+                    "d_lyrics", "d_singers", "d_directors", "d_lyricists", "d_other",
+                )
+            )
+            new_log = self._stage_and_read(
+                "fetch_log", new_log_df, wave, FETCH_LOG_SCHEMA, staged
+            )
+            snapshot_id = staged[-1]["path"] if staged else "none"
+
+            # per-wave, per-host, per-partition lineage metrics (O4)
+            met = (
+                new_log.groupBy("host", "partition_id")
+                .agg(
+                    F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("urls_fetched"),
+                    F.sum(F.when(~F.col("ok"), 1).otherwise(0)).alias("errors"),
+                    F.sum(F.when(F.col("ok"), F.col("bytes")).otherwise(0)).alias("bytes"),
+                    F.sum("delay_s").alias("vtime_s"),
+                    F.count("*").alias("urls_attempted"),
+                )
+                .withColumn("wave", F.lit(wave))
+                .withColumn("snapshot_id", F.lit(snapshot_id))
+            )
+            staged.append(self.store.stage_append("metrics", met, wave))
+            n_fetched = new_log.count()
+
+        P_all = self.parsed_view(log if new_log is None else log.unionByName(new_log))
+
+        # -------- resolution pass (F2 dispatch + D2 movie skip) --------
+        jo = unresolved.join(P_all.select("abs_url", "children"), "abs_url")
+        res_others = jo.where(
+            ~((F.col("topology") == 0) & (F.col("task_type") == 1))
+        ).select("dfs_key", "abs_url", F.lit("expanded").alias("action"))
+
+        movies = jo.where((F.col("topology") == 0) & (F.col("task_type") == 1))
+        expander = (
+            occ_dim.where((F.col("topology") == 0) & (F.col("task_type") == 1))
+            .groupBy("abs_url")
+            .agg(F.min("dfs_key").alias("expander_key"))
+        )
+        mv = (
+            movies.join(expander, "abs_url")
+            .withColumn("L", F.size("children"))
+            .withColumn(
+                "n_distinct",
+                F.size(F.array_distinct(F.transform("children", lambda c: c["url"]))),
+            )
+        )
+        res_empty = mv.where(F.col("L") == 0).select(
+            "dfs_key", "abs_url", F.lit("skipped_no_new").alias("action")
+        )
+        res_expander = mv.where(
+            (F.col("L") > 0) & (F.col("dfs_key") == F.col("expander_key"))
+        ).select("dfs_key", "abs_url", F.lit("expanded").alias("action"))
+
+        dup_movies = mv.where(
+            (F.col("L") > 0) & (F.col("dfs_key") != F.col("expander_key"))
+        )
+        song_urls = dup_movies.select(
+            "dfs_key", "abs_url", "site", "max_err", "L", "n_distinct",
+            F.explode(
+                F.array_distinct(F.transform("children", lambda c: c["url"]))
+            ).alias("child_url"),
+        ).withColumn("child_abs", F.concat(F.col("site"), F.col("child_url")))
+        song_state = (
+            song_urls.join(
+                us.withColumnRenamed("abs_url", "child_abs")
+                .withColumnRenamed("has_ok", "s_has_ok")
+                .withColumnRenamed("n_fail", "s_n_fail"),
+                "child_abs",
+                "left",
+            )
+            .withColumn("s_has_ok", F.coalesce("s_has_ok", F.lit(False)))
+            .withColumn("s_n_fail", F.coalesce("s_n_fail", F.lit(0)))
+            .withColumn(
+                "settled", F.col("s_has_ok") | (F.col("s_n_fail") >= F.col("max_err"))
+            )
+            .withColumn(
+                "s_dead", ~F.col("s_has_ok") & (F.col("s_n_fail") >= F.col("max_err"))
+            )
+        )
+        dup_decided = (
+            song_state.groupBy("dfs_key", "abs_url", "L", "n_distinct")
+            .agg(
+                F.min(F.col("settled").cast("int")).alias("all_settled"),
+                F.max(F.col("s_dead").cast("int")).alias("any_dead"),
+            )
+            .where(F.col("all_settled") == 1)
+            .withColumn(
+                "action",
+                F.when(
+                    (F.col("any_dead") == 1) | (F.col("n_distinct") != F.col("L")),
+                    F.lit("expanded"),
+                ).otherwise(F.lit("skipped_no_new")),
+            )
+            .select("dfs_key", "abs_url", "action")
+        )
+
+        new_resolved_df = (
+            res_others.unionByName(res_empty)
+            .unionByName(res_expander)
+            .unionByName(dup_decided)
+            .withColumn("wave", F.lit(wave))
+        )
+        new_resolved = self._stage_and_read(
+            "resolved",
+            new_resolved_df,
+            wave,
+            "dfs_key string, abs_url string, action string, wave int",
+            staged,
+        )
+        if n_pending == 0 and len(new_resolved.take(1)) == 0:
+            raise RuntimeError(
+                "wave made no progress: nothing pending and nothing resolvable"
+            )
+
+        # -------- children fan-out (X1–X6 + robots + LIFO rank keys) ----
+        exp = (
+            new_resolved.where(F.col("action") == "expanded")
+            .select("dfs_key", "abs_url")
+            .join(Fr, ["dfs_key", "abs_url"])
+            .join(dim, "site")
+            .join(P_all.select("abs_url", "children"), "abs_url")
+        )
+        kids_raw = exp.select(
+            F.col("dfs_key").alias("parent_key"),
+            F.col("url").alias("parent_url"),
+            "site", "host", "topology", "depth",
+            F.col("movie").alias("p_movie"),
+            F.col("artist").alias("p_artist"),
+            F.posexplode("children").alias("pos", "child"),
+        ).select(
+            "parent_key", "parent_url", "site", "host", "topology", "depth", "pos",
+            "p_movie", "p_artist",
+            F.col("child.url").alias("c_url"),
+            F.col("child.label").alias("c_label"),
+            F.col("child.child_type").alias("c_type"),
+            F.col("child.album").alias("c_album"),
+        )
+        kids_abs = kids_raw.withColumn(
+            "c_abs",
+            F.when(
+                (F.col("topology") == 1) & (F.col("c_type") == 1),
+                F.concat(F.col("site"), F.lit("/"), F.col("c_url")),
+            ).otherwise(F.concat(F.col("site"), F.col("c_url"))),
+        ).withColumn("c_path", F.regexp_replace("c_abs", r"^https?://[^/]+", ""))
+        # robots Disallow: broadcast anti-join on (host, path prefix)
+        rb = F.broadcast(self.robots).withColumnRenamed("host", "r_host")
+        kids_ok = kids_abs.join(
+            rb,
+            (kids_abs["host"] == F.col("r_host"))
+            & kids_abs["c_path"].startswith(F.col("prefix")),
+            "left_anti",
+        )
+        # LIFO rank AFTER the filter (survivors keep relative pop order)
+        wpar = Window.partitionBy("parent_key").orderBy(F.desc("pos"))
+        kids = kids_ok.withColumn("rank", F.row_number().over(wpar) - 1).withColumn(
+            "c_key", child_key(F.col("parent_key"), F.col("rank"))
+        )
+        new_frontier_df = kids.select(
+            F.col("c_key").alias("dfs_key"),
+            F.col("c_url").alias("url"),
+            F.col("c_abs").alias("abs_url"),
+            "host", "site",
+            F.col("c_type").alias("task_type"),
+            (F.col("depth") + 1).alias("depth"),
+            F.when((F.col("topology") == 0) & (F.col("c_type") == 1), F.col("c_label"))
+            .when((F.col("topology") == 0) & (F.col("c_type") == 2), F.col("p_movie"))
+            .alias("movie"),
+            F.when((F.col("topology") == 0) & (F.col("c_type") == 2), F.col("parent_url"))
+            .alias("movie_url"),
+            F.when(F.col("topology").isin(1, 2) & (F.col("c_type") == 1), F.col("c_label"))
+            .when(F.col("topology").isin(1, 2) & (F.col("c_type") != 1), F.col("p_artist"))
+            .alias("artist"),
+            F.when((F.col("topology") == 1) & (F.col("c_type") == 2), F.col("c_album"))
+            .alias("album"),
+            F.when((F.col("topology") == 1) & (F.col("c_type") == 2), F.col("parent_url"))
+            .alias("album_url"),
+            F.when(
+                ((F.col("topology") == 0) & (F.col("c_type") == 2))
+                | ((F.col("topology") == 1) & (F.col("c_type") == 2))
+                | ((F.col("topology") == 2) & (F.col("c_type") == 3)),
+                F.col("c_label"),
+            ).alias("song"),
+            F.lit(wave).alias("wave_enq"),
+        )
+        new_kids = self._stage_and_read(
+            "frontier", new_frontier_df, wave, FRONTIER_SCHEMA, staged
+        )
+
+        # -------- documents MERGE (O1) --------
+        # delta = leaf occurrences saved exactly once: old occurrences
+        # whose URL was parsed THIS wave ∪ occurrences enqueued this wave
+        # whose URL is parsed (covers late dup-movie expansions).
+        leaf_old = Fr.join(dim, "site").where(
+            self._leaf(F.col("topology"), F.col("task_type"))
+        )
+        parts = []
+        if new_log is not None:
+            parts.append(leaf_old.join(self.parsed_view(new_log).drop("children", "bytes", "wave"), "abs_url"))
+        parts.append(
+            new_kids.join(dim, "site")
+            .where(self._leaf(F.col("topology"), F.col("task_type")))
+            .join(P_all.drop("children", "bytes", "wave"), "abs_url")
+        )
+        delta = parts[0]
+        for p in parts[1:]:
+            delta = delta.unionByName(p)
+        if len(delta.take(1)) > 0:
+            self._merge_documents(delta, wave, staged)
+
+        self.store.commit_wave(
+            wave,
+            staged,
+            {
+                "pending": n_pending,
+                "unresolved": n_unresolved,
+                "fetched": n_fetched,
+                "wall_s": round(time.time() - t0, 3),
+            },
+        )
+        return True
+
+    # ---------------- documents sink ----------------
+
+    def _merge_documents(self, delta: DataFrame, wave: int, staged: list) -> None:
+        """Per-wave MERGE INTO documents. Win rule: Type0/1 keep the
+        MIN-dfs_key occurrence (first pop saves, later pops skip via
+        exists_song, db_operations.py:214-229); Type2 keeps the MAX (D4
+        missing return, base_crawler.py:714-722 — every pop re-saves,
+        last wins). The rule is associative, so incremental per-wave
+        merges equal one batch merge (resume-safe). On Iceberg this is
+        MERGE INTO … WHEN MATCHED AND s.key <wins> t.key THEN UPDATE."""
+        docs_delta = (
+            delta.withColumn(
+                "movie_val",
+                F.when(F.col("topology") == 0, F.col("movie"))
+                .when(F.col("topology") == 1, F.col("album"))
+                .otherwise(F.col("d_album")),
+            )
+            .withColumn(
+                "movie_url_val",
+                F.when(F.col("topology") == 0, F.col("movie_url"))
+                .when(F.col("topology") == 1, F.col("album_url"))
+                .otherwise(F.col("url")),  # Type2 quirk (base_crawler.py:732)
+            )
+            .withColumn(
+                "singers_val",
+                F.when(F.col("topology") == 0, F.col("d_singers"))
+                .when(F.col("topology") == 1, F.array(F.col("artist")))
+                .otherwise(
+                    F.concat(
+                        F.coalesce(F.col("d_other"), F.array().cast("array<string>")),
+                        F.array(F.col("artist")),
+                    )
+                ),
+            )
+            .withColumn(
+                "directors_val",
+                F.when(F.col("topology") == 0, F.col("d_directors")).otherwise(
+                    F.array(F.col("artist"))
+                ),
+            )
+            .withColumn(
+                "lyricists_val",
+                F.when(F.col("topology") == 1, F.array(F.col("artist"))).otherwise(
+                    F.col("d_lyricists")
+                ),
+            )
+        )
+        # P17 unescape — once, at the sink, like db_operations.py:37-42
+        docs_delta = (
+            docs_delta.withColumn("song_u", unescape_str(F.col("song")))
+            .withColumn("movie_u", unescape_str(F.col("movie_val")))
+            .withColumn("lyrics_u", unescape_str(F.col("d_lyrics")))
+            .withColumn("singers_u", unescape_arr(F.col("singers_val")))
+            .withColumn("directors_u", unescape_arr(F.col("directors_val")))
+            .withColumn("lyricists_u", unescape_arr(F.col("lyricists_val")))
+        )
+        docs_delta = docs_delta.select(
+            F.col("site").alias("start_url"),
+            F.col("url").alias("song_url"),
+            F.col("abs_url").alias("doc_id"),
+            "host",
+            "topology",
+            F.col("song_u").alias("song"),
+            F.col("movie_u").alias("movie"),
+            F.col("movie_url_val").alias("movie_url"),
+            "artist",
+            "dfs_key",
+            F.lit(wave).alias("wave"),
+            spans_expr(
+                F.col("movie_u"), F.col("singers_u"), F.col("directors_u"),
+                F.col("lyricists_u"), F.col("lyrics_u"),
+            ).alias("spans"),
+        )
+        old = self.documents()
+        merged_src = docs_delta if old is None else old.unionByName(docs_delta)
+        # one window, direction switched per topology via a sort key that
+        # inverts the hex dfs_key for Type2 (max-key wins there)
+        wdoc = Window.partitionBy("start_url", "song_url").orderBy(
+            F.when(F.col("topology") == 2, F.lit(None)).otherwise(F.col("dfs_key")).asc_nulls_last(),
+            F.when(F.col("topology") == 2, F.col("dfs_key")).desc_nulls_last(),
+        )
+        merged = (
+            merged_src.withColumn("rn", F.row_number().over(wdoc))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+        staged.append(self.store.stage_replace("documents", merged, wave))
+
+    # ---------------- derived outputs ----------------
+
+    def seen(self) -> DataFrame:
+        """The URL-seen set (exists_song semantics): one row per saved
+        (start_url, song_url), with its 64-bit hash key."""
+        return self.documents().select(
+            "start_url", "song_url", "doc_id",
+            F.xxhash64("doc_id").alias("url_hash"),
+            F.col("wave").alias("first_wave"),
+        )
+
+    def trace(self) -> DataFrame:
+        """Reconstruct the totally-ordered single-threaded visit trace
+        (golden contract). Only valid on a finished run."""
+        dim = F.broadcast(self.site_dim)
+        occ = self.frontier().join(dim, "site")
+        us = self._url_state(self.visits())
+        occ = (
+            occ.join(us, "abs_url", "left")
+            .withColumn("has_ok", F.coalesce("has_ok", F.lit(False)))
+            .withColumn("n_fail", F.coalesce("n_fail", F.lit(0)))
+        )
+        is_leaf = self._leaf(F.col("topology"), F.col("task_type"))
+        wleaf = Window.partitionBy("abs_url")
+        occ = occ.withColumn(
+            "leaf_winner_key", F.min(F.when(is_leaf, F.col("dfs_key"))).over(wleaf)
+        ).join(
+            self.resolved().select(
+                "dfs_key", "abs_url", F.col("action").alias("res_action")
+            ),
+            ["dfs_key", "abs_url"],
+            "left",
+        )
+
+        dead = ~F.col("has_ok")
+        skipped_seen = (
+            is_leaf
+            & F.col("topology").isin(0, 1)
+            & (F.col("dfs_key") != F.col("leaf_winner_key"))
+        )
+        is_movie = (F.col("topology") == 0) & (F.col("task_type") == 1)
+
+        occ = occ.withColumn(
+            "terminal_action",
+            F.when(dead, F.lit("dead"))
+            .when(skipped_seen, F.lit("skipped_seen"))
+            .when(
+                is_movie,
+                F.when(F.col("res_action") == "expanded", F.lit("fetched")).otherwise(
+                    F.lit("skipped_no_new")
+                ),
+            )
+            .otherwise(F.lit("fetched")),
+        ).withColumn(
+            "terminal_n",
+            F.when(dead, F.col("max_err"))
+            .when(skipped_seen, F.lit(0))
+            .otherwise(F.col("n_fail")),
+        )
+
+        err_rows = (
+            occ.where(F.col("terminal_n") > 0)
+            .select(
+                "site", "host", "url", "task_type", "dfs_key",
+                F.explode(F.sequence(F.lit(0), F.col("terminal_n") - 1)).alias(
+                    "n_errors"
+                ),
+            )
+            .withColumn("action", F.lit("error"))
+        )
+        term_rows = occ.select(
+            "site", "host", "url", "task_type", "dfs_key",
+            F.col("terminal_n").alias("n_errors"),
+            F.col("terminal_action").alias("action"),
+        )
+        allrows = err_rows.unionByName(term_rows)
+        wseq = Window.partitionBy("site").orderBy("dfs_key", "n_errors")
+        return allrows.withColumn("seq", F.row_number().over(wseq))
