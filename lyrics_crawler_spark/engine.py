@@ -255,7 +255,9 @@ class CrawlEngine:
         )
 
         n_pending = pending.count()
-        n_unresolved = unresolved.count()
+        # the unresolved count is only a termination condition — skip the
+        # extra job whenever fetches are still pending
+        n_unresolved = -1 if n_pending > 0 else unresolved.count()
         if n_pending == 0 and n_unresolved == 0:
             return False
 

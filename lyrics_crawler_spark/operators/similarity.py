@@ -24,8 +24,10 @@ QUANT = 1000
 def quantized(df: DataFrame, vec_col: str = "embedding", key_col: str = "vec_id") -> DataFrame:
     return df.select(
         key_col,
+        # cast to double BEFORE the multiply: float32 arithmetic would
+        # differ from DuckDB's promotion rules
         F.expr(
-            f"transform({vec_col}, x -> cast(round(x * {QUANT}) as bigint))"
+            f"transform({vec_col}, x -> cast(round(cast(x as double) * {QUANT}.0) as bigint))"
         ).alias("q"),
     ).withColumn(
         "norm2", F.expr("aggregate(q, cast(0 as bigint), (acc, x) -> acc + x * x)")

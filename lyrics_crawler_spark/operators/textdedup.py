@@ -120,12 +120,17 @@ def simhash(docs: DataFrame, text_col: str = "text", key_col: str = "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
     ).withColumn(
         "vote",
-        F.when(F.shiftright(F.col("h"), F.col("bit")) % 2 == 1, 1).otherwise(-1),
+        F.when(F.expr("shiftright(h, bit) % 2 = 1"), 1).otherwise(-1),
     )
     return (
         votes.groupBy(key_col, "bit")
         .agg(F.sum("vote").alias("v"))
-        .withColumn("bitval", F.when(F.col("v") > 0, F.shiftleft(F.lit(1), F.col("bit"))).otherwise(0))
+        .withColumn(
+            "bitval",
+            F.when(F.col("v") > 0, F.expr("shiftleft(cast(1 as bigint), bit)")).otherwise(
+                F.lit(0).cast("bigint")
+            ),
+        )
         .groupBy(key_col)
         .agg(F.sum("bitval").alias("simhash"))
     )
