@@ -25,9 +25,14 @@ from lyrics_crawler_spark.functions.textanalysis import (
     fingerprint,
     text_features,
 )
-from lyrics_crawler_spark.operators.similarity import brute_force_topk
+from lyrics_crawler_spark.operators.similarity import (
+    ann_lsh_topk,
+    brute_force_topk,
+    cosine_neardup_pairs,
+)
 from lyrics_crawler_spark.operators.textdedup import (
     exact_dedup,
+    lsh_candidate_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash,
@@ -211,6 +216,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_simhash"] = dedup_simhash
 
+    def dedup_lsh_pairs(spark, sf):  # MinHash+LSH band-bucket join
+        d = _t(spark, sf, "documents")
+        return lsh_candidate_pairs(d, max_id=200)
+
+    q["dedup_lsh_pairs"] = dedup_lsh_pairs
+
     def dedup_jaccard(spark, sf):
         d = _t(spark, sf, "documents")
         return ngram_jaccard_pairs(d, threshold=0.3, max_id=150)
@@ -229,6 +240,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return brute_force_topk(e, queries_max_id=10, corpus_max_id=300, k=5)
 
     q["cosine_topk"] = cosine_topk
+
+    def ann_lsh(spark, sf):  # LSH-bucketed ANN: the scale path
+        e = _t(spark, sf, "embeddings")
+        return ann_lsh_topk(e, queries_max_id=10, corpus_max_id=300, k=5)
+
+    q["ann_lsh"] = ann_lsh
+
+    def embedding_neardup(spark, sf):  # cosine near-dup pairs
+        e = _t(spark, sf, "embeddings")
+        return cosine_neardup_pairs(e, max_id=300, threshold_m=400)
+
+    q["embedding_neardup"] = embedding_neardup
 
     # --- text analysis ---
 
@@ -415,6 +438,25 @@ def oracle_sql() -> dict[str, str]:
                             ELSE 0 END) AS BIGINT) AS simhash
             FROM v GROUP BY doc_id
         """,
+        "dedup_lsh_pairs": _dd_shingles_cte("WHERE doc_id < 200")
+        + f""",
+        hh AS (SELECT doc_id, {h} % 1073741824 AS h FROM s),
+        sigs AS (SELECT doc_id, {mh_terms} FROM hh GROUP BY doc_id),
+        bands AS (
+          SELECT doc_id, 0 AS band,
+                 CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR) AS sig FROM sigs
+          UNION ALL SELECT doc_id, 1,
+                 CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR) FROM sigs
+          UNION ALL SELECT doc_id, 2,
+                 CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR) FROM sigs
+          UNION ALL SELECT doc_id, 3,
+                 CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR) FROM sigs
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_bands
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        """,
         "dedup_jaccard": _dd_shingles_cte("WHERE doc_id < 150")
         + """,
         ds AS (SELECT DISTINCT doc_id, shingle FROM s),
@@ -461,6 +503,61 @@ def oracle_sql() -> dict[str, str]:
               FROM pairs
             )
             SELECT query_id, neighbor_id, rank, dot FROM ranked WHERE rank <= 5
+        """,
+        "ann_lsh": """
+            WITH qz AS (
+              SELECT vec_id,
+                     list_transform(embedding,
+                       x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
+              FROM embeddings WHERE vec_id < 300
+            ), nz AS (
+              SELECT vec_id, q,
+                     CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS norm2,
+                     array_to_string(list_transform(range(0, 8), p ->
+                       CASE WHEN list_sum(list_transform(range(1, len(q) + 1),
+                         i -> CASE WHEN ((i - 1) * 2654435761 + p * 40503) % 4 < 2
+                              THEN q[i] ELSE -q[i] END)) >= 0
+                       THEN '1' ELSE '0' END), '') AS bucket
+              FROM qz
+            ), pairs AS (
+              SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                     CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+                          i -> a.q[i] * b.q[i])) AS BIGINT) AS dot,
+                     b.norm2 AS cn
+              FROM nz a JOIN nz b ON a.bucket = b.bucket
+              WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+            ), ranked AS (
+              SELECT query_id, neighbor_id, dot,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY CAST(dot * ABS(dot) AS DOUBLE) / cn DESC,
+                                neighbor_id ASC) AS rank
+              FROM pairs
+            )
+            SELECT query_id, neighbor_id, rank, dot FROM ranked WHERE rank <= 5
+        """,
+        "embedding_neardup": """
+            WITH qz AS (
+              SELECT vec_id,
+                     list_transform(embedding,
+                       x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
+              FROM embeddings WHERE vec_id < 300
+            ), nz AS (
+              SELECT vec_id, q,
+                     CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS norm2
+              FROM qz
+            ), pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+                          i -> a.q[i] * b.q[i])) AS BIGINT) AS dot,
+                     a.norm2 AS na2, b.norm2 AS nb2
+              FROM nz a JOIN nz b ON a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b, dot,
+                   CAST(FLOOR(1000.0 * CAST(dot AS DOUBLE)
+                        / SQRT(CAST(na2 * nb2 AS DOUBLE))) AS BIGINT) AS cos_m
+            FROM pairs
+            WHERE FLOOR(1000.0 * CAST(dot AS DOUBLE)
+                  / SQRT(CAST(na2 * nb2 AS DOUBLE))) >= 400
         """,
         "langid": f"""
             WITH t AS (

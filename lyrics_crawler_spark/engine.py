@@ -122,6 +122,12 @@ class CrawlEngine:
             ("__none__", "__never__")
         ]
         self.robots = spark.createDataFrame(robots_rows, "host string, prefix string")
+        # static plan trims: when NO site declares a politeness budget /
+        # robots rules, the per-host window / anti-join never changes the
+        # result — skip those operators entirely (fewer AQE stages per
+        # wave; per-wave serial latency is the scaling bottleneck).
+        self._any_budget = any(s.politeness_budget is not None for s in specs)
+        self._any_robots = any(s.robots_disallow for s in specs)
 
     # ---------------- table access ----------------
 
@@ -136,16 +142,23 @@ class CrawlEngine:
     ) -> DataFrame:
         """Stage an append snapshot; return a re-read of the written file
         (downstream ops never recompute the plan). The plan is computed
-        exactly once (the write); the re-read carries an explicit schema
-        so even an empty snapshot round-trips, and empty snapshots are
-        dropped from the commit (a parquet dir with no part files can't
-        be re-read without a schema)."""
-        entry = self.store.stage_append(table, df, wave)
-        out = self.spark.read.schema(schema).parquet(entry["path"])
-        n = out.count()  # metadata-only count on the written footers
+        exactly once (the write); the row count rides on the SAME job via
+        an Observation (no separate count job — per-wave fixed overhead
+        is the scaling killer at high parallelism). The re-read carries an
+        explicit schema so even an empty snapshot round-trips, and empty
+        snapshots are dropped from the commit (a parquet dir with no part
+        files can't be re-read without a schema)."""
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        entry = self.store.stage_append(
+            table, df.observe(obs, F.count(F.lit(1)).alias("n")), wave
+        )
+        n = obs.get["n"]
         if n == 0:
             return self.spark.createDataFrame([], schema), 0
         staged.append(entry)
+        out = self.spark.read.schema(schema).parquet(entry["path"])
         return out, n
 
     def frontier(self) -> DataFrame:
@@ -276,22 +289,33 @@ class CrawlEngine:
 
         # ---- fetch selection + fetch, all inside ONE write job: the
         # staged snapshot's footer count doubles as the pending probe ----
-        wsite = Window.partitionBy("site")
-        at_depth = pending.withColumn(
-            "site_min_depth", F.min("depth").over(wsite)
-        ).where(F.col("depth") == F.col("site_min_depth"))
+        # per-site minimum pending depth: a window partitioned by `site`
+        # would funnel every pending row of a site through ONE task (site
+        # cardinality is tiny) — use a map-side-combinable groupBy and
+        # broadcast the per-site minima back instead (scales linearly).
+        site_min = pending.groupBy("site").agg(
+            F.min("depth").alias("site_min_depth")
+        )
+        at_depth = pending.join(F.broadcast(site_min), "site").where(
+            F.col("depth") == F.col("site_min_depth")
+        )
 
         # politeness: per-host budget top-k by DFS key; uncapped hosts
-        # bypass the window entirely (no shuffle for them).
-        capped = at_depth.where(F.col("budget").isNotNull())
-        uncapped = at_depth.where(F.col("budget").isNull())
-        whost = Window.partitionBy("host").orderBy("min_key")
-        capped_sel = (
-            capped.withColumn("rn", F.row_number().over(whost))
-            .where(F.col("rn") <= F.col("budget"))
-            .drop("rn")
-        )
-        wave_urls = uncapped.unionByName(capped_sel).select(
+        # bypass the window entirely (no shuffle for them). When no site
+        # has a budget at all, the whole branch is statically elided.
+        if self._any_budget:
+            capped = at_depth.where(F.col("budget").isNotNull())
+            uncapped = at_depth.where(F.col("budget").isNull())
+            whost = Window.partitionBy("host").orderBy("min_key")
+            capped_sel = (
+                capped.withColumn("rn", F.row_number().over(whost))
+                .where(F.col("rn") <= F.col("budget"))
+                .drop("rn")
+            )
+            selected = uncapped.unionByName(capped_sel)
+        else:
+            selected = at_depth
+        wave_urls = selected.select(
             "site", "abs_url", "url", "task_type", "host", "delay_s",
             F.col("n_fail").cast("int").alias("attempt"),
         ).persist()  # reused: fetch input + host/delay join-back
@@ -481,14 +505,18 @@ class CrawlEngine:
                 F.concat(F.col("site"), F.lit("/"), F.col("c_url")),
             ).otherwise(F.concat(F.col("site"), F.col("c_url"))),
         ).withColumn("c_path", F.regexp_replace("c_abs", r"^https?://[^/]+", ""))
-        # robots Disallow: broadcast anti-join on (host, path prefix)
-        rb = F.broadcast(self.robots).withColumnRenamed("host", "r_host")
-        kids_ok = kids_abs.join(
-            rb,
-            (kids_abs["host"] == F.col("r_host"))
-            & kids_abs["c_path"].startswith(F.col("prefix")),
-            "left_anti",
-        )
+        # robots Disallow: broadcast anti-join on (host, path prefix);
+        # statically elided when no site declares rules.
+        if self._any_robots:
+            rb = F.broadcast(self.robots).withColumnRenamed("host", "r_host")
+            kids_ok = kids_abs.join(
+                rb,
+                (kids_abs["host"] == F.col("r_host"))
+                & kids_abs["c_path"].startswith(F.col("prefix")),
+                "left_anti",
+            )
+        else:
+            kids_ok = kids_abs
         # LIFO rank AFTER the filter (survivors keep relative pop order)
         wpar = Window.partitionBy("parent_key").orderBy(F.desc("pos"))
         kids = kids_ok.withColumn("rank", F.row_number().over(wpar) - 1).withColumn(
@@ -544,8 +572,14 @@ class CrawlEngine:
         delta = parts[0]
         for p in parts[1:]:
             delta = delta.unionByName(p)
-        if len(delta.take(1)) > 0:
-            self._merge_documents(delta, wave, staged)
+        # termination waves (nothing fetched, nothing enqueued) can't
+        # produce documents; otherwise evaluate the delta ONCE (persist),
+        # merge only when non-empty — never execute the plan twice.
+        if n_fetched > 0 or n_kids > 0:
+            delta = delta.persist()
+            if delta.count() > 0:
+                self._merge_documents(delta, wave, staged)
+            delta.unpersist()
         _t = _tick('docs-merge', _t)
 
         self.store.commit_wave(

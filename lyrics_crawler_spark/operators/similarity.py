@@ -69,6 +69,82 @@ def brute_force_topk(
     )
 
 
+def cosine_neardup_pairs(
+    df: DataFrame, max_id: int, threshold_m: int = 800,
+    vec_col: str = "embedding", key_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-dup: unordered pairs with cosine ≥
+    threshold_m/1000. cos_m = floor(1000·dot/sqrt(na2·nb2)) is
+    engine-portable: the integer inputs are exact as doubles
+    (dot < 2^53, na2·nb2 < 2^53) and sqrt/division are correctly
+    rounded IEEE in both Spark and DuckDB."""
+    z = quantized(df.where(F.col(key_col) < max_id), vec_col, key_col)
+    a = z.select(
+        F.col(key_col).alias("id_a"), F.col("q").alias("qa"), F.col("norm2").alias("na2")
+    )
+    b = z.select(
+        F.col(key_col).alias("id_b"), F.col("q").alias("qb"), F.col("norm2").alias("nb2")
+    )
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "dot",
+            F.expr(
+                "aggregate(zip_with(qa, qb, (x, y) -> x * y), "
+                "cast(0 as bigint), (acc, x) -> acc + x)"
+            ),
+        )
+        .withColumn(
+            "cos_m",
+            F.floor(
+                F.lit(1000.0) * F.col("dot").cast("double")
+                / F.sqrt((F.col("na2") * F.col("nb2")).cast("double"))
+            ).cast("bigint"),
+        )
+        .where(F.col("cos_m") >= threshold_m)
+        .select("id_a", "id_b", "dot", "cos_m")
+    )
+
+
+def ann_lsh_topk(
+    df: DataFrame, queries_max_id: int, corpus_max_id: int, k: int = 5,
+    n_planes: int = 8, vec_col: str = "embedding", key_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: candidates = same LSH bucket (equi-join), then
+    exact integer rerank inside the bucket. At 100 TB the bucket join
+    replaces brute-force's crossJoin; recall is tuned by n_planes (and by
+    multi-probe / repeated tables — out of scope here)."""
+    scope = df.where(F.col(key_col) < corpus_max_id)
+    z = quantized(scope, vec_col, key_col)
+    bk = lsh_ann_buckets(scope, n_planes, vec_col, key_col)
+    zb = z.join(bk, key_col)
+    qa = zb.where(F.col(key_col) < queries_max_id).select(
+        F.col(key_col).alias("query_id"), F.col("q").alias("qv"), "bucket"
+    )
+    ca = zb.select(
+        F.col(key_col).alias("neighbor_id"), F.col("q").alias("cv"),
+        F.col("norm2").alias("cn"), "bucket",
+    )
+    pairs = qa.join(ca, "bucket").where(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.withColumn(
+        "dot",
+        F.expr(
+            "aggregate(zip_with(qv, cv, (a, b) -> a * b), "
+            "cast(0 as bigint), (acc, x) -> acc + x)"
+        ),
+    ).withColumn(
+        "score", (F.col("dot") * F.abs(F.col("dot"))).cast("double") / F.col("cn")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "dot")
+    )
+
+
 def lsh_ann_buckets(
     df: DataFrame, n_planes: int = 8, vec_col: str = "embedding",
     key_col: str = "vec_id",

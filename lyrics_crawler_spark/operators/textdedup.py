@@ -107,6 +107,29 @@ def lsh_buckets(
     )
 
 
+def lsh_candidate_pairs(
+    docs: DataFrame, text_col: str = "text", key_col: str = "doc_id",
+    max_id: int | None = None, bands: int = 4, rows_per_band: int = 2,
+) -> DataFrame:
+    """MinHash+LSH near-dup candidates: shingle → minhash → band →
+    bucket equi-join (the scale path — pair-finding never cross-joins).
+    Returns distinct unordered pairs plus the number of bucket
+    collisions (evidence strength)."""
+    base = docs if max_id is None else docs.where(F.col(key_col) < max_id)
+    bk = lsh_buckets(
+        minhash_signatures(base, text_col, key_col),
+        key_col, bands, rows_per_band,
+    )
+    a = bk.select(F.col(key_col).alias("id_a"), "band", "sig")
+    b = bk.select(F.col(key_col).alias("id_b"), "band", "sig")
+    return (
+        a.join(b, ["band", "sig"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_bands"))
+    )
+
+
 def simhash(docs: DataFrame, text_col: str = "text", key_col: str = "doc_id",
             bits: int = SIMHASH_BITS) -> DataFrame:
     """SimHash over distinct tokens: bit b set iff the majority of token

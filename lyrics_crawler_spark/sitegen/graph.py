@@ -116,6 +116,7 @@ class SiteGraph:
 
     def __init__(self, spec: SiteSpec):
         self.spec = spec
+        self._pool_cache: dict = {}
 
     # ---------------- URL / structure helpers ----------------
 
@@ -133,7 +134,14 @@ class SiteGraph:
         return stable_unit(self.spec.seed, self.spec.dialect, *parts)
 
     def _pop_pool(self, kind: str, size: int) -> list[int]:
-        return [self._h("pop", kind, i) % self.spec.url_space for i in range(size)]
+        # memoized: pools are re-requested for every generated page
+        pool = self._pool_cache.get((kind, size))
+        if pool is None:
+            pool = [
+                self._h("pop", kind, i) % self.spec.url_space for i in range(size)
+            ]
+            self._pool_cache[(kind, size)] = pool
+        return pool
 
     def _name(self, kind: str, ident: int, words, n: int, entity_ok=False) -> str:
         toks = [words[self._h("w", kind, ident, i) % len(words)] for i in range(n)]

@@ -64,11 +64,14 @@ def throughput_by_host(metrics: DataFrame, window: str = "1 minute") -> DataFram
 def run_metrics_drain(spark: SparkSession, store_dir: str, out_dir: str) -> int:
     """Drain all available metric snapshots through the windowed agg into
     a memory sink; returns rows processed (test/demo entry)."""
+    # complete mode: an availableNow drain ends before the watermark can
+    # pass the last window, so append mode would emit nothing; a live
+    # dashboard run uses append + the watermark to finalize windows.
     q = (
         throughput_by_host(metrics_stream(spark, store_dir))
         .writeStream.format("memory")
         .queryName("host_throughput")
-        .outputMode("append")
+        .outputMode("complete")
         .option("checkpointLocation", os.path.join(out_dir, "_ckpt"))
         .trigger(availableNow=True)
         .start()

@@ -1,0 +1,56 @@
+"""Structured Streaming consumers over the engine's append-only tables
+(SURVEY.md §2.9 streaming note) and the multimodal plumbing contract."""
+
+from pyspark.sql import functions as F
+
+from lyrics_crawler_spark.engine import CrawlEngine
+from lyrics_crawler_spark.sitegen.graph import SiteSpec
+
+
+def _small_crawl(spark, tmp_store):
+    spec = SiteSpec("hindilyrics", "http://st.example", seed=31, n_seeds=2,
+                    branch1=3, branch2=2)
+    eng = CrawlEngine(spark, [spec], tmp_store)
+    eng.run()
+    return eng
+
+
+def test_metrics_stream_drain(spark, tmp_store):
+    """The per-wave metrics table is a valid file-stream source: draining
+    it through the watermarked windowed agg yields per-host rows whose
+    fetch totals equal the batch table's."""
+    from lyrics_crawler_spark.streaming.wave_stream import run_metrics_drain
+
+    eng = _small_crawl(spark, tmp_store + "/store")
+    n = run_metrics_drain(spark, eng.store.base_dir, tmp_store + "/out")
+    assert n > 0
+    streamed = spark.table("host_throughput")
+    batch_total = eng.metrics().agg(F.sum("urls_fetched")).collect()[0][0]
+    stream_total = streamed.agg(F.sum("urls_fetched")).collect()[0][0]
+    assert stream_total == batch_total
+
+
+def test_multimodal_feature_shapes(spark, tmp_store):
+    """Media refs from span arrays → deterministic payloads → Arrow-batched
+    feature extraction: schema, determinism, and histogram normalization."""
+    from lyrics_crawler_spark.operators.multimodal import (
+        extract_features,
+        fetch_payload_stub,
+        media_from_documents,
+    )
+
+    eng = _small_crawl(spark, tmp_store + "/store")
+    media = media_from_documents(eng.documents())
+    assert media.count() > 0
+    payloads = fetch_payload_stub(media)
+    imgs = payloads.where("kind = 'image'")
+    if imgs.take(1):
+        assert imgs.where("width IS NULL OR height IS NULL").count() == 0
+    feats1 = extract_features(payloads).collect()
+    feats2 = extract_features(fetch_payload_stub(media)).collect()
+    by_ref1 = {r.media_ref: r.feature for r in feats1}
+    by_ref2 = {r.media_ref: r.feature for r in feats2}
+    assert by_ref1 == by_ref2, "feature extraction must be deterministic"
+    for v in by_ref1.values():
+        assert len(v) == 8
+        assert abs(sum(v) - 1.0) < 1e-3
