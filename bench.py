@@ -83,7 +83,8 @@ def main():
     qs = entry_mod.queries()
     headline = [
         "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_jaccard",
-        "explode_tokens", "cosine_topk", "langid", "quality",
+        "dedup_lsh_pairs", "explode_tokens", "cosine_topk", "ann_lsh",
+        "embedding_neardup", "langid", "quality",
         "token_stats", "topk_per_type", "anti_join_unseen",
         "upsert_last_wins", "fingerprints",
     ]

@@ -7,7 +7,9 @@ Two paths:
   sums are not associative and would break value-hash parity).
 - LSH-bucketed variant (random-hyperplane signs over the quantized
   vector) — the scale path: candidates come from an equi-join on the
-  bucket key, turning O(n²) into O(n·bucket).
+  bucket key, turning O(n²) into O(n·bucket); ``ann_lsh_topk`` reranks
+  exactly inside buckets, ``cosine_neardup_pairs`` thresholds cosine
+  for embedding-level near-duplicate detection.
 
 Dot products use ``F.zip_with`` + ``F.aggregate`` — pure Catalyst,
 no UDF.
