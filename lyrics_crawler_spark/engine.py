@@ -85,6 +85,13 @@ FETCH_LOG_SCHEMA = (
 # applied as *virtual* time — the engine never sleeps.
 DELAY_MIDPOINT_S = 47.5
 
+DOCS_SCHEMA = (
+    "start_url string, song_url string, doc_id string, host string, "
+    "topology int, song string, movie string, movie_url string, "
+    "artist string, dfs_key string, wave int, "
+    "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+)
+
 
 class CrawlEngine:
     def __init__(
@@ -182,7 +189,39 @@ class CrawlEngine:
         )
 
     def documents(self) -> DataFrame | None:
-        return self.store.read("documents")
+        """Resolved documents view. Storage is an append-only per-wave
+        delta log (O(wave) commit cost, like an Iceberg merge-on-read
+        MERGE); the associative win-rule (min/max dfs_key, see
+        :meth:`_merge_documents`) is applied at read. Idempotent, so it
+        composes with end-of-run compaction."""
+        log = self.store.read("documents")
+        if log is None:
+            return None
+        return self._resolve_documents(log)
+
+    @staticmethod
+    def _resolve_documents(merged_src: DataFrame) -> DataFrame:
+        """Hash-aggregate MERGE resolution (map-side combinable — no
+        sort, no window): min_by for first-pop-wins (Type0/1), max_by
+        for last-pop-wins (Type2, the D4 missing-return quirk). Every
+        row of a (start_url, song_url) group shares its topology, so
+        picking by first(topology) is exact."""
+        cols = list(merged_src.columns)
+        rowstruct = F.struct(*[F.col(c) for c in cols])
+        return (
+            merged_src.groupBy("start_url", "song_url")
+            .agg(
+                F.min_by(rowstruct, F.col("dfs_key")).alias("first_row"),
+                F.max_by(rowstruct, F.col("dfs_key")).alias("last_row"),
+                F.first("topology").alias("topo"),
+            )
+            .select(
+                F.when(F.col("topo") == 2, F.col("last_row"))
+                .otherwise(F.col("first_row"))
+                .alias("r")
+            )
+            .select([F.col(f"r.{c}").alias(c) for c in cols])
+        )
 
     def metrics(self) -> DataFrame | None:
         return self.store.read("metrics")
@@ -246,7 +285,10 @@ class CrawlEngine:
         return wave
 
     def _run_wave(self, wave: int) -> bool:
-        Fr = self.frontier()
+        # frontier is consulted by ~5 independent jobs per wave (work
+        # list, resolution, expansion, leaf join) — cache it once per
+        # wave instead of re-scanning the snapshot log each time.
+        Fr = self.frontier().persist()
         log = self.fetch_log()
         R = self.resolved()
         us = self._url_state(self.visits())
@@ -362,7 +404,12 @@ class CrawlEngine:
             staged.append(self.store.stage_append("metrics", met, wave))
             _t = _tick('metrics', _t)
 
-        P_all = self.parsed_view(log if new_log is None else log.unionByName(new_log))
+        # parsed view + settled URL state each feed 2-3 jobs this wave;
+        # cache both (they are groupBy/projection of the full fetch log —
+        # the single most re-scanned input).
+        P_all = self.parsed_view(
+            log if new_log is None else log.unionByName(new_log)
+        ).persist()
 
         # -------- resolution pass (F2 dispatch + D2 movie skip) --------
         # resolution sees THIS wave's fetches too (same-wave expand — no
@@ -372,7 +419,7 @@ class CrawlEngine:
                 self.visits().unionByName(
                     new_log.select("abs_url", "wave", "attempt", "ok")
                 )
-            )
+            ).persist()
             unresolved = (
                 occ_dim.where(self._nonleaf(F.col("topology"), F.col("task_type")))
                 .join(
@@ -468,8 +515,10 @@ class CrawlEngine:
         if n_fetched == 0 and n_resolved == 0:
             # nothing progressed this wave: either the crawl is done, or
             # the engine is stuck (a bug). Decide with one final count.
-            wave_urls.unpersist()
-            if unresolved.count() == 0:
+            done = unresolved.count() == 0
+            for df in (wave_urls, Fr, P_all, us_all):
+                df.unpersist()
+            if done:
                 return False
             raise RuntimeError(
                 "wave made no progress: nothing pending and nothing resolvable"
@@ -573,13 +622,10 @@ class CrawlEngine:
         for p in parts[1:]:
             delta = delta.unionByName(p)
         # termination waves (nothing fetched, nothing enqueued) can't
-        # produce documents; otherwise evaluate the delta ONCE (persist),
-        # merge only when non-empty — never execute the plan twice.
+        # produce documents; otherwise the delta plan runs exactly once
+        # (the append write — its Observation count gates empty commits).
         if n_fetched > 0 or n_kids > 0:
-            delta = delta.persist()
-            if delta.count() > 0:
-                self._merge_documents(delta, wave, staged)
-            delta.unpersist()
+            self._merge_documents(delta, wave, staged)
         _t = _tick('docs-merge', _t)
 
         self.store.commit_wave(
@@ -592,19 +638,23 @@ class CrawlEngine:
                 "wall_s": round(time.time() - t0, 3),
             },
         )
-        wave_urls.unpersist()
+        for df in (wave_urls, Fr, P_all, us_all):
+            df.unpersist()
         return True
 
     # ---------------- documents sink ----------------
 
     def _merge_documents(self, delta: DataFrame, wave: int, staged: list) -> None:
-        """Per-wave MERGE INTO documents. Win rule: Type0/1 keep the
-        MIN-dfs_key occurrence (first pop saves, later pops skip via
-        exists_song, db_operations.py:214-229); Type2 keeps the MAX (D4
-        missing return, base_crawler.py:714-722 — every pop re-saves,
-        last wins). The rule is associative, so incremental per-wave
-        merges equal one batch merge (resume-safe). On Iceberg this is
-        MERGE INTO … WHEN MATCHED AND s.key <wins> t.key THEN UPDATE."""
+        """Per-wave MERGE INTO documents, merge-on-read style: the wave
+        appends its delta (O(wave) commit, never O(state)); the win rule
+        — Type0/1 keep the MIN-dfs_key occurrence (first pop saves,
+        later pops skip via exists_song, db_operations.py:214-229),
+        Type2 keeps the MAX (D4 missing return, base_crawler.py:714-722
+        — every pop re-saves, last wins) — is associative + idempotent,
+        so read-time resolution (:meth:`_resolve_documents`) equals one
+        batch merge (resume-safe). On Iceberg this is MERGE INTO … WHEN
+        MATCHED AND s.key <wins> t.key THEN UPDATE with merge-on-read
+        row deltas."""
         docs_delta = (
             delta.withColumn(
                 "movie_val",
@@ -668,29 +718,10 @@ class CrawlEngine:
                 F.col("lyricists_u"), F.col("lyrics_u"),
             ).alias("spans"),
         )
-        old = self.documents()
-        merged_src = docs_delta if old is None else old.unionByName(docs_delta)
-        # hash-aggregate MERGE (map-side combinable — no sort, no window):
-        # min_by for first-pop-wins (Type0/1), max_by for last-pop-wins
-        # (Type2); every row in a (start_url, song_url) group shares its
-        # topology, so picking by first(topology) is exact.
-        cols = [c for c in merged_src.columns]
-        rowstruct = F.struct(*[F.col(c) for c in cols])
-        merged = (
-            merged_src.groupBy("start_url", "song_url")
-            .agg(
-                F.min_by(rowstruct, F.col("dfs_key")).alias("first_row"),
-                F.max_by(rowstruct, F.col("dfs_key")).alias("last_row"),
-                F.first("topology").alias("topo"),
-            )
-            .select(
-                F.when(F.col("topo") == 2, F.col("last_row"))
-                .otherwise(F.col("first_row"))
-                .alias("r")
-            )
-            .select([F.col(f"r.{c}").alias(c) for c in cols])
-        )
-        staged.append(self.store.stage_replace("documents", merged, wave))
+        # append the delta only — the win-rule resolves at read
+        # (:meth:`documents`); a wave never rewrites history. The write's
+        # Observation count drops empty deltas from the commit.
+        self._stage_and_read("documents", docs_delta, wave, DOCS_SCHEMA, staged)
 
     # ---------------- derived outputs ----------------
 
