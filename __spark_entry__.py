@@ -110,11 +110,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def lifo_order(spark, sf):  # F1/R1 LIFO wave selection
         o = _t(spark, sf, "orders")
+        # distributed top-k (TakeOrdered — per-partition heaps, no
+        # single-partition window shuffle); the rank window then runs
+        # over just the k surviving rows.
+        top = o.orderBy(F.desc("o_orderdate"), F.desc("o_orderkey")).limit(20)
         w = Window.orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
-        return (
-            o.withColumn("seq", F.row_number().over(w))
-            .where(F.col("seq") <= 20)
-            .select("o_orderkey", "seq")
+        return top.withColumn("seq", F.row_number().over(w)).select(
+            "o_orderkey", "seq"
         )
 
     q["lifo_order"] = lifo_order
@@ -186,14 +188,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def explode_tokens(spark, sf):
         d = _t(spark, sf, "documents")
-        w = Window.orderBy(F.desc("n"), F.asc("token"))
-        return (
+        counts = (
             d.select(F.explode(F.expr(tokens_expr("text"))).alias("token"))
             .groupBy("token")
             .agg(F.count("*").alias("n"))
-            .withColumn("rk", F.row_number().over(w))
-            .where(F.col("rk") <= 100)
         )
+        # distributed top-k first (TakeOrdered), then rank the k rows —
+        # never a global window over the full token vocabulary.
+        top = counts.orderBy(F.desc("n"), F.asc("token")).limit(100)
+        w = Window.orderBy(F.desc("n"), F.asc("token"))
+        return top.withColumn("rk", F.row_number().over(w))
 
     q["explode_tokens"] = explode_tokens
 

@@ -100,8 +100,27 @@ class CrawlEngine:
         specs: list[SiteSpec],
         base_dir: str,
         fetch_partitions: int | None = None,
+        bloom_seen: bool = False,
+        bloom_partitions: int = 32,
+        bloom_m_bits: int = 1 << 20,
+        bloom_k: int = 4,
     ):
+        """``bloom_seen`` enables the partitioned bloom URL-seen
+        pre-filter (operators/urlseen.py): frontier URLs the bloom
+        proves unfetched skip the exact settlement join entirely; only
+        the maybe-seen remainder (true hits + ~2% fp at k=4) pays it.
+        Results are identical either way (fp resolved exactly) — the
+        flag trades an extra Arrow stage per wave for a much smaller
+        seen-join, the right trade once the fetch log dwarfs a wave
+        (the 10^10-URL regime; at sandbox scale the exact join is
+        already cheap, so benches default it off)."""
         self.spark = spark
+        self.bloom_seen = bloom_seen
+        self._bloom_params = {
+            "num_partitions": bloom_partitions,
+            "m_bits": bloom_m_bits,
+            "k": bloom_k,
+        }
         self.specs = specs
         self.specs_by_site = {s.start_url: s for s in specs}
         self.store = SnapshotStore(spark, base_dir)
@@ -201,26 +220,39 @@ class CrawlEngine:
 
     @staticmethod
     def _resolve_documents(merged_src: DataFrame) -> DataFrame:
-        """Hash-aggregate MERGE resolution (map-side combinable — no
-        sort, no window): min_by for first-pop-wins (Type0/1), max_by
-        for last-pop-wins (Type2, the D4 missing-return quirk). Every
-        row of a (start_url, song_url) group shares its topology, so
-        picking by first(topology) is exact."""
-        cols = list(merged_src.columns)
-        rowstruct = F.struct(*[F.col(c) for c in cols])
-        return (
+        """MERGE resolution: min-dfs_key wins for Type0/1 (first pop
+        saves; later pops skip via exists_song), max for Type2 (the D4
+        missing-return quirk — every pop re-saves, last wins). Every row
+        of a (start_url, song_url) group shares its topology, so
+        first(topology) picks the rule exactly.
+
+        Shape note: the winner is found on a *slim* key-only aggregate
+        (three string columns — map-side combinable), then kept via a
+        left-semi join back. The obvious one-pass min_by/max_by over the
+        full row struct allocates two span-array deep copies per input
+        row in the agg buffers — measured 200s+ of GC in one stage at
+        32 threads; the slim agg + semi-join does no row construction
+        at all (UnsafeRow passthrough)."""
+        winners = (
             merged_src.groupBy("start_url", "song_url")
             .agg(
-                F.min_by(rowstruct, F.col("dfs_key")).alias("first_row"),
-                F.max_by(rowstruct, F.col("dfs_key")).alias("last_row"),
+                F.min("dfs_key").alias("kmin"),
+                F.max("dfs_key").alias("kmax"),
                 F.first("topology").alias("topo"),
             )
             .select(
-                F.when(F.col("topo") == 2, F.col("last_row"))
-                .otherwise(F.col("first_row"))
-                .alias("r")
+                "start_url",
+                "song_url",
+                F.when(F.col("topo") == 2, F.col("kmax"))
+                .otherwise(F.col("kmin"))
+                .alias("dfs_key"),
             )
-            .select([F.col(f"r.{c}").alias(c) for c in cols])
+        )
+        # (start_url, song_url, dfs_key) is unique in the log — each
+        # occurrence is saved exactly once — so the semi-join keeps
+        # exactly one row per document.
+        return merged_src.join(
+            winners, ["start_url", "song_url", "dfs_key"], "left_semi"
         )
 
     def metrics(self) -> DataFrame | None:
@@ -296,7 +328,7 @@ class CrawlEngine:
 
         # distinct-URL work list (all occurrence fields per URL are equal
         # except depth/dfs_key, aggregated min)
-        urls = (
+        urls_base = (
             Fr.groupBy("abs_url")
             .agg(
                 F.first("site").alias("site"),
@@ -307,10 +339,37 @@ class CrawlEngine:
                 F.min("dfs_key").alias("min_key"),
             )
             .join(dim, "site")
-            .join(us, "abs_url", "left")
-            .withColumn("has_ok", F.coalesce("has_ok", F.lit(False)))
-            .withColumn("n_fail", F.coalesce("n_fail", F.lit(0)))
         )
+        if self.bloom_seen:
+            # partitioned bloom pre-filter (D1 scale path): definite
+            # bloom misses are provably unfetched — they skip the exact
+            # settlement join; only maybe-hits pay it. fp resolved
+            # exactly, so `urls` is value-identical to the plain join.
+            from lyrics_crawler_spark.operators.urlseen import (
+                BLOOM_SCHEMA, seen_split,
+            )
+
+            bloom = self._read("url_bloom", BLOOM_SCHEMA)
+            hashed = urls_base.withColumn("url_hash", F.xxhash64("abs_url"))
+            new_side, maybe_side = seen_split(
+                hashed, bloom, **self._bloom_params
+            )
+            urls = (
+                new_side.withColumn("has_ok", F.lit(False))
+                .withColumn("n_fail", F.lit(0).cast("bigint"))
+                .unionByName(
+                    maybe_side.join(us, "abs_url", "left")
+                    .withColumn("has_ok", F.coalesce("has_ok", F.lit(False)))
+                    .withColumn("n_fail", F.coalesce("n_fail", F.lit(0)))
+                )
+                .drop("url_hash")
+            )
+        else:
+            urls = (
+                urls_base.join(us, "abs_url", "left")
+                .withColumn("has_ok", F.coalesce("has_ok", F.lit(False)))
+                .withColumn("n_fail", F.coalesce("n_fail", F.lit(0)))
+            )
         pending = urls.where(
             ~F.col("has_ok") & (F.col("n_fail") < F.col("max_err"))
         )
@@ -360,24 +419,18 @@ class CrawlEngine:
         wave_urls = selected.select(
             "site", "abs_url", "url", "task_type", "host", "delay_s",
             F.col("n_fail").cast("int").alias("attempt"),
-        ).persist()  # reused: fetch input + host/delay join-back
-
-        # fetch+parse: repartition by URL hash = domain-salted spread
-        fetched = wave_urls.select(
-            "site", "abs_url", "url", "task_type", "attempt"
-        ).repartition(self.fetch_partitions, "abs_url").mapInPandas(
-            make_fetch_parse(self.specs_by_site), FETCH_SCHEMA
         )
-        new_log_df = (
-            fetched.join(
-                wave_urls.select("abs_url", "host", "delay_s"), "abs_url"
-            )
-            .withColumn("wave", F.lit(wave))
-            .selectExpr(
-                "abs_url", "wave", "attempt", "ok", "bytes", "partition_id",
-                "user_agent", "host", "delay_s", "children", "d_album",
-                "d_lyrics", "d_singers", "d_directors", "d_lyricists", "d_other",
-            )
+
+        # fetch+parse: repartition by URL hash = domain-salted spread.
+        # host/delay_s ride through the Arrow stage (echoed per row), so
+        # no join-back against the wave input is needed afterwards.
+        fetched = wave_urls.repartition(
+            self.fetch_partitions, "abs_url"
+        ).mapInPandas(make_fetch_parse(self.specs_by_site), FETCH_SCHEMA)
+        new_log_df = fetched.withColumn("wave", F.lit(wave)).selectExpr(
+            "abs_url", "wave", "attempt", "ok", "bytes", "partition_id",
+            "user_agent", "host", "delay_s", "children", "d_album",
+            "d_lyrics", "d_singers", "d_directors", "d_lyricists", "d_other",
         )
         new_log, n_fetched = self._stage_and_read(
             "fetch_log", new_log_df, wave, FETCH_LOG_SCHEMA, staged
@@ -402,6 +455,20 @@ class CrawlEngine:
                 .withColumn("snapshot_id", F.lit(snapshot_id))
             )
             staged.append(self.store.stage_append("metrics", met, wave))
+            if self.bloom_seen:
+                # bloom delta for every URL attempted this wave (ok and
+                # failed — mirrors _url_state, which counts both). One
+                # bitset row per touched partition; merged by OR at
+                # probe time, so this too is an append-only log.
+                from lyrics_crawler_spark.operators.urlseen import bloom_build
+
+                delta_bits = bloom_build(
+                    new_log.select(F.xxhash64("abs_url").alias("url_hash")),
+                    **self._bloom_params,
+                )
+                staged.append(
+                    self.store.stage_append("url_bloom", delta_bits, wave)
+                )
             _t = _tick('metrics', _t)
 
         # parsed view + settled URL state each feed 2-3 jobs this wave;
@@ -516,7 +583,7 @@ class CrawlEngine:
             # nothing progressed this wave: either the crawl is done, or
             # the engine is stuck (a bug). Decide with one final count.
             done = unresolved.count() == 0
-            for df in (wave_urls, Fr, P_all, us_all):
+            for df in (Fr, P_all, us_all):
                 df.unpersist()
             if done:
                 return False
@@ -638,7 +705,7 @@ class CrawlEngine:
                 "wall_s": round(time.time() - t0, 3),
             },
         )
-        for df in (wave_urls, Fr, P_all, us_all):
+        for df in (Fr, P_all, us_all):
             df.unpersist()
         return True
 

@@ -117,3 +117,75 @@ def extract_features(media: DataFrame) -> DataFrame:
             yield out
 
     return media.mapInPandas(gen, FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_ref", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_ref", StringType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("t_ms", IntegerType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, target: int = 32) -> DataFrame:
+    """Resize stage for image payloads. STUB decode: a real deployment
+    swaps the body for PIL's ``Image.resize`` — here the deterministic
+    fake "resamples" the payload to target*target/64 bytes so output
+    sizes, schema, and Arrow batch shapes match a real resizer."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_out = max(1, target * target // 64)
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                p = bytes(r.payload)
+                step = max(1, len(p) // n_out)
+                rows.append(
+                    {
+                        "media_ref": r.media_ref,
+                        "payload": p[::step][:n_out],
+                        "width": target,
+                        "height": target,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA.fields])
+
+    return media.where(F.col("kind") == "image").mapInPandas(gen, RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000, max_frames: int = 8) -> DataFrame:
+    """Frame-sampling stage for audio/video payloads: one output row per
+    sampled timestamp (a fan-out mapInPandas — batch in, more rows out).
+    STUB decode: deterministic byte-slice per frame; a real deployment
+    uses pyav/ffmpeg inside the same iterator."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                dur = int(r.duration_ms or 0)
+                n = min(max_frames, max(1, dur // every_ms))
+                p = bytes(r.payload)
+                for i in range(n):
+                    rows.append(
+                        {
+                            "media_ref": r.media_ref,
+                            "frame_idx": i,
+                            "t_ms": i * every_ms,
+                            "frame": p[i % max(1, len(p)):][:16],
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    return media.where(F.col("kind") == "audio").mapInPandas(gen, FRAME_SCHEMA)

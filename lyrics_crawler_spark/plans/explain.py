@@ -29,7 +29,10 @@ def plan_checks(df: DataFrame) -> dict:
     p = formatted_plan(df)
     return {
         "has_pushed_filters": "PushedFilters: [" in p and "PushedFilters: []" not in p,
-        "has_broadcast_join": "BroadcastHashJoin" in p,
+        # hash for equi-joins, nested-loop for explicit broadcast cross
+        # joins (e.g. query-side × broadcast corpus in brute-force topk)
+        "has_broadcast_join": "BroadcastHashJoin" in p
+        or "BroadcastNestedLoopJoin" in p,
         "n_codegen_spans": p.count("WholeStageCodegen"),
         "n_python_stages": p.count("ArrowEvalPython") + p.count("MapInPandas"),
         "scans": p.count("Scan parquet"),

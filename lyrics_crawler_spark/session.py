@@ -51,6 +51,12 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # throughput-batch GC: G1 collapses under 32 allocation-heavy
+        # task threads (Arrow batches are humongous allocations for G1's
+        # default region size — measured 138s of GC in one stage);
+        # ParallelGC cut the local[32] crawl wall 142s → 103s.
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

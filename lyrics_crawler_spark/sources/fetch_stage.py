@@ -29,6 +29,7 @@ import pandas as pd
 from pyspark.sql.types import (
     ArrayType,
     BooleanType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -68,6 +69,11 @@ FETCH_SCHEMA = StructType(
         StructField("d_directors", ArrayType(StringType())),
         StructField("d_lyricists", ArrayType(StringType())),
         StructField("d_other", ArrayType(StringType())),
+        # pass-through columns (host politeness bucket + virtual delay):
+        # echoing them through the Arrow stage saves the engine a
+        # join-back against the wave input (one shuffle per wave).
+        StructField("host", StringType()),
+        StructField("delay_s", DoubleType()),
     ]
 )
 
@@ -139,6 +145,8 @@ def make_fetch_parse(specs_by_site: dict):
                     "d_directors": None,
                     "d_lyricists": None,
                     "d_other": None,
+                    "host": r.host,
+                    "delay_s": float(r.delay_s),
                 }
                 try:
                     # the reference catches *any* exception and requeues

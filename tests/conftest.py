@@ -23,21 +23,21 @@ def tmp_store():
     shutil.rmtree(d, ignore_errors=True)
 
 
-def run_both(spark, specs, base_dir, max_waves=400):
+def run_both(spark, specs, base_dir, max_waves=400, **eng_kwargs):
     """Run oracle + engine over the same specs; return comparison views."""
     from lyrics_crawler_spark.engine import CrawlEngine
     from lyrics_crawler_spark.oracle import ReferenceOracle
 
     oracles = {s.start_url: ReferenceOracle(s).run() for s in specs}
-    eng = CrawlEngine(spark, specs, base_dir)
+    eng = CrawlEngine(spark, specs, base_dir, **eng_kwargs)
     eng.run(max_waves=max_waves)
     return oracles, eng
 
 
-def assert_golden(spark, specs, base_dir):
+def assert_golden(spark, specs, base_dir, **eng_kwargs):
     """The north-rule check: exact crawl order, URL-seen set, and
     span-sequence equality for every site."""
-    oracles, eng = run_both(spark, specs, base_dir)
+    oracles, eng = run_both(spark, specs, base_dir, **eng_kwargs)
 
     trace = eng.trace().orderBy("site", "seq").collect()
     eng_traces: dict[str, list] = {}

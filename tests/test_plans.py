@@ -1,0 +1,75 @@
+"""Physical-plan assertions (the .explain discipline, SURVEY.md §4).
+
+Correctness tests prove the answers are right; these prove the *plans*
+are the ones a 1000-executor cluster needs: filters reach the parquet
+scan, scans read only projected columns, dimension joins broadcast, and
+Python appears in exactly the stages that must leave the JVM.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lyrics_crawler_spark.plans.explain import formatted_plan, plan_checks
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(os.path.join(SF, "documents.parquet"))
+
+
+def test_filter_pushdown_reaches_scan(docs):
+    p = formatted_plan(docs.where(F.col("doc_id") < 100).select("doc_id", "lang"))
+    assert "PushedFilters: [" in p
+    assert "LessThan(doc_id,100)" in p or "IsNotNull(doc_id)" in p
+
+
+def test_column_pruning_reaches_scan(docs):
+    p = formatted_plan(docs.select("doc_id", "lang"))
+    # ReadSchema must carry only the projected columns — not `text`
+    rs = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert rs and "text" not in rs[0], rs
+
+
+def test_exact_dedup_plan_is_jvm_only(docs):
+    from lyrics_crawler_spark.operators.textdedup import exact_dedup
+
+    p = formatted_plan(exact_dedup(docs))
+    c = plan_checks(exact_dedup(docs))
+    assert c["n_python_stages"] == 0  # md5/trim/groupBy all codegen-able
+    # a partial_min aggregate exists = map-side combine (the shuffle
+    # carries pre-aggregated hashes, not raw text)
+    assert "partial_min" in p
+
+
+def test_cosine_topk_broadcasts_corpus(spark):
+    from lyrics_crawler_spark.operators.similarity import brute_force_topk
+
+    e = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+    c = plan_checks(brute_force_topk(e, queries_max_id=5, corpus_max_id=50, k=3))
+    assert c["has_broadcast_join"]  # corpus side must broadcast, never SMJ
+    assert c["n_python_stages"] == 0  # int dot product via zip_with/aggregate
+
+
+def test_engine_wave_python_stage_budget(spark, tmp_store):
+    """The crawl's per-wave plans use Python in exactly two places —
+    the fetch+parse mapInPandas and the sink unescape (plus the optional
+    bloom build/probe when enabled). The trace/documents reads here must
+    be Python-free."""
+    from lyrics_crawler_spark.engine import CrawlEngine
+    from lyrics_crawler_spark.sitegen.graph import SiteSpec
+
+    spec = SiteSpec("smriti", "http://pl.example", seed=5, n_seeds=2,
+                    branch1=2, branch2=2)
+    eng = CrawlEngine(spark, [spec], tmp_store)
+    eng.run()
+    c_trace = plan_checks(eng.trace())
+    assert c_trace["n_python_stages"] == 0
+    c_docs = plan_checks(eng.documents())
+    # documents read = parquet scan + hash-agg win rule; the only Python
+    # in its lineage was the already-materialized fetch stage
+    assert c_docs["n_python_stages"] == 0
+    assert c_trace["has_broadcast_join"]  # site dim joins broadcast

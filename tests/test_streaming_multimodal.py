@@ -54,3 +54,31 @@ def test_multimodal_feature_shapes(spark, tmp_store):
     for v in by_ref1.values():
         assert len(v) == 8
         assert abs(sum(v) - 1.0) < 1e-3
+
+
+def test_multimodal_resize_and_frame_sample(spark, tmp_store):
+    """Resize emits fixed-target dimensions for every image; frame
+    sampling fans audio payloads out to one row per sampled timestamp,
+    bounded by duration and max_frames."""
+    from lyrics_crawler_spark.operators.multimodal import (
+        fetch_payload_stub,
+        media_from_documents,
+        resize_images,
+        sample_frames,
+    )
+
+    eng = _small_crawl(spark, tmp_store + "/store")
+    payloads = fetch_payload_stub(media_from_documents(eng.documents()))
+    resized = resize_images(payloads, target=32)
+    n_img = payloads.where("kind = 'image'").count()
+    assert resized.count() == n_img
+    assert resized.where("width <> 32 OR height <> 32").count() == 0
+    assert resized.where("length(payload) < 1").count() == 0
+
+    frames = sample_frames(payloads, every_ms=500, max_frames=4)
+    n_audio = payloads.where("kind = 'audio'").count()
+    if n_audio:
+        got = frames.groupBy("media_ref").count().agg(F.max("count")).collect()[0][0]
+        assert 1 <= got <= 4
+        assert frames.count() >= n_audio  # ≥1 frame per clip
+        assert frames.where("t_ms % 500 <> 0").count() == 0
