@@ -232,6 +232,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_jaccard"] = dedup_jaccard
 
+    def dedup_lsh_verified(spark, sf):  # LSH candidates → exact Jaccard verify
+        d = _t(spark, sf, "documents")
+        cands = lsh_candidate_pairs(d, max_id=200)
+        return ngram_jaccard_pairs(
+            d, threshold=0.3, max_id=200, candidates=cands
+        )
+
+    q["dedup_lsh_verified"] = dedup_lsh_verified
+
     def fingerprints(spark, sf):
         return fingerprint(_t(spark, sf, "documents").where("doc_id < 200"))
 
@@ -251,11 +260,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_lsh"] = ann_lsh
 
-    def embedding_neardup(spark, sf):  # cosine near-dup pairs
+    def embedding_neardup(spark, sf):  # cosine near-dup pairs (exact, capped)
+        e = _t(spark, sf, "embeddings")
+        return cosine_neardup_pairs(e, max_id=300, threshold_m=400, exact=True)
+
+    q["embedding_neardup"] = embedding_neardup
+
+    def embedding_neardup_lsh(spark, sf):  # LSH-bucketed near-dup: scale path
         e = _t(spark, sf, "embeddings")
         return cosine_neardup_pairs(e, max_id=300, threshold_m=400)
 
-    q["embedding_neardup"] = embedding_neardup
+    q["embedding_neardup_lsh"] = embedding_neardup_lsh
 
     # --- text analysis ---
 
@@ -319,7 +334,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         eng = _crawl_engine(spark)
         media = media_from_documents(eng.documents())
-        return extract_features(fetch_payload_stub(media))
+        feats = extract_features(fetch_payload_stub(media))
+        # exploded integer-ppm projection: the driver's canonicalizer
+        # sorts every column, so the raw array<float> column (unhashable
+        # in pandas) must not reach it. decode_stub rounds to 6 dp, so
+        # ppm values are exact integers.
+        return feats.select(
+            "media_ref", "kind", F.posexplode("feature").alias("bucket", "v")
+        ).select(
+            "media_ref", "kind", "bucket",
+            F.round(F.col("v") * 1000000).cast("bigint").alias("value_ppm"),
+        )
 
     q["crawl_media_features"] = crawl_media_features
 
@@ -477,6 +502,41 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE FLOOR(1000 * n_inter / (sa.n_sh + sb.n_sh - n_inter)) >= 300
         """,
+        "dedup_lsh_verified": _dd_shingles_cte("WHERE doc_id < 200")
+        + f""",
+        hh AS (SELECT doc_id, {h} % 1073741824 AS h FROM s),
+        sigs AS (SELECT doc_id, {mh_terms} FROM hh GROUP BY doc_id),
+        bands AS (
+          SELECT doc_id, 0 AS band,
+                 CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR) AS sig FROM sigs
+          UNION ALL SELECT doc_id, 1,
+                 CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR) FROM sigs
+          UNION ALL SELECT doc_id, 2,
+                 CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR) FROM sigs
+          UNION ALL SELECT doc_id, 3,
+                 CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR) FROM sigs
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a
+          JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        ),
+        ds AS (SELECT DISTINCT doc_id, shingle FROM s),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM ds GROUP BY doc_id),
+        inter AS (
+          SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+          FROM cand c
+          JOIN ds a ON a.doc_id = c.id_a
+          JOIN ds b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+               CAST(FLOOR(1000 * n_inter / (sa.n_sh + sb.n_sh - n_inter)) AS BIGINT) AS jaccard_m
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE FLOOR(1000 * n_inter / (sa.n_sh + sb.n_sh - n_inter)) >= 300
+        """,
         "fingerprints": """
             SELECT doc_id,
                    MD5(regexp_replace(LOWER(TRIM(text)), '\\s+', ' ', 'g')) AS fingerprint
@@ -555,6 +615,35 @@ def oracle_sql() -> dict[str, str]:
                           i -> a.q[i] * b.q[i])) AS BIGINT) AS dot,
                      a.norm2 AS na2, b.norm2 AS nb2
               FROM nz a JOIN nz b ON a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b, dot,
+                   CAST(FLOOR(1000.0 * CAST(dot AS DOUBLE)
+                        / SQRT(CAST(na2 * nb2 AS DOUBLE))) AS BIGINT) AS cos_m
+            FROM pairs
+            WHERE FLOOR(1000.0 * CAST(dot AS DOUBLE)
+                  / SQRT(CAST(na2 * nb2 AS DOUBLE))) >= 400
+        """,
+        "embedding_neardup_lsh": """
+            WITH qz AS (
+              SELECT vec_id,
+                     list_transform(embedding,
+                       x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
+              FROM embeddings WHERE vec_id < 300
+            ), nz AS (
+              SELECT vec_id, q,
+                     CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS norm2,
+                     array_to_string(list_transform(range(0, 8), p ->
+                       CASE WHEN list_sum(list_transform(range(1, len(q) + 1),
+                         i -> CASE WHEN ((i - 1) * 2654435761 + p * 40503) % 4 < 2
+                              THEN q[i] ELSE -q[i] END)) >= 0
+                       THEN '1' ELSE '0' END), '') AS bucket
+              FROM qz
+            ), pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+                          i -> a.q[i] * b.q[i])) AS BIGINT) AS dot,
+                     a.norm2 AS na2, b.norm2 AS nb2
+              FROM nz a JOIN nz b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
             )
             SELECT id_a, id_b, dot,
                    CAST(FLOOR(1000.0 * CAST(dot AS DOUBLE)

@@ -70,7 +70,7 @@ from lyrics_crawler_spark.tables.store import SnapshotStore
 FRONTIER_SCHEMA = (
     "dfs_key string, url string, abs_url string, host string, site string, "
     "task_type int, depth int, movie string, movie_url string, artist string, "
-    "album string, album_url string, song string, wave_enq int"
+    "album string, album_url string, song string, wave_enq int, cycle int"
 )
 
 FETCH_LOG_SCHEMA = (
@@ -78,8 +78,11 @@ FETCH_LOG_SCHEMA = (
     "partition_id int, user_agent string, host string, delay_s double, "
     "children array<struct<url:string,label:string,child_type:int,album:string>>, "
     "d_album string, d_lyrics string, d_singers array<string>, "
-    "d_directors array<string>, d_lyricists array<string>, d_other array<string>"
+    "d_directors array<string>, d_lyricists array<string>, d_other array<string>, "
+    "cycle int"
 )
+
+RESOLVED_SCHEMA = "dfs_key string, abs_url string, action string, wave int, cycle int"
 
 # politeness delay midpoint of randint(35, 60) (network_manager.py:44-46),
 # applied as *virtual* time — the engine never sleeps.
@@ -88,7 +91,7 @@ DELAY_MIDPOINT_S = 47.5
 DOCS_SCHEMA = (
     "start_url string, song_url string, doc_id string, host string, "
     "topology int, song string, movie string, movie_url string, "
-    "artist string, dfs_key string, wave int, "
+    "artist string, dfs_key string, wave int, cycle int, fetched_at int, "
     "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
 )
 
@@ -121,15 +124,48 @@ class CrawlEngine:
             "m_bits": bloom_m_bits,
             "k": bloom_k,
         }
-        self.specs = specs
-        self.specs_by_site = {s.start_url: s for s in specs}
+        self._set_specs(specs)
         self.store = SnapshotStore(spark, base_dir)
+        # bloom config is part of the store's identity: resuming with a
+        # different config would make already-fetched URLs probe as
+        # definitely-new (missing/mismatched url_bloom deltas) and
+        # re-fetch them — breaking the golden trace. Record at store
+        # birth; fail fast on mismatch at resume (ADVICE r01).
+        bloom_cfg = (
+            {"bloom_seen": True, **self._bloom_params}
+            if bloom_seen
+            else {"bloom_seen": False}
+        )
+        stored_cfg = self.store.get_config("bloom")
+        if self.store.last_wave() >= 0:
+            if stored_cfg != bloom_cfg and (
+                bloom_seen or (stored_cfg or {}).get("bloom_seen")
+            ):
+                raise ValueError(
+                    f"bloom config mismatch on resume: store has {stored_cfg}, "
+                    f"engine given {bloom_cfg}; rebuild the store or match the flags"
+                )
+        else:
+            self.store.set_config("bloom", bloom_cfg)
+        # F4 re-crawl: the reference's `while True` re-seed loop
+        # (base_crawler.py:116,:302,:529). Crawl state (frontier, fetch
+        # log, resolution, retry ladders) is scoped to the CURRENT cycle
+        # — a new cycle re-fetches every non-leaf page and resets error
+        # budgets, exactly like the reference's fresh task dicts — while
+        # the documents sink and its exists_song dedup span all cycles.
+        self.cycle = int(self.store.get_config("cycle") or 0)
         self.fetch_partitions = fetch_partitions or int(
             spark.conf.get("spark.sql.shuffle.partitions")
         )
+
+    def _set_specs(self, specs: list[SiteSpec]) -> None:
+        """Install (or replace, between re-crawl cycles) the site specs
+        and their derived dimension tables."""
+        self.specs = specs
+        self.specs_by_site = {s.start_url: s for s in specs}
         # site dimension (broadcast); host intentionally excluded — the
         # frontier carries host, keeping joins unambiguous.
-        self.site_dim = spark.createDataFrame(
+        self.site_dim = self.spark.createDataFrame(
             [
                 (
                     s.start_url,
@@ -147,7 +183,9 @@ class CrawlEngine:
         robots_rows = [(s.host, p) for s in specs for p in s.robots_disallow] or [
             ("__none__", "__never__")
         ]
-        self.robots = spark.createDataFrame(robots_rows, "host string, prefix string")
+        self.robots = self.spark.createDataFrame(
+            robots_rows, "host string, prefix string"
+        )
         # static plan trims: when NO site declares a politeness budget /
         # robots rules, the per-host window / anti-join never changes the
         # result — skip those operators entirely (fewer AQE stages per
@@ -187,14 +225,27 @@ class CrawlEngine:
         out = self.spark.read.schema(schema).parquet(entry["path"])
         return out, n
 
-    def frontier(self) -> DataFrame:
-        return self._read("frontier", FRONTIER_SCHEMA)
+    def _cycle_scope(self, df: DataFrame, current_cycle_only: bool) -> DataFrame:
+        # crawl state (settlement, retries, parses) is per-cycle — the
+        # reference's task dicts are recreated each `while True` pass;
+        # only the documents sink spans cycles. The filter is a parquet
+        # pushdown (partition-prunable at scale).
+        return df.where(F.col("cycle") == self.cycle) if current_cycle_only else df
 
-    def fetch_log(self) -> DataFrame:
-        return self._read("fetch_log", FETCH_LOG_SCHEMA)
+    def frontier(self, current_cycle_only: bool = False) -> DataFrame:
+        return self._cycle_scope(
+            self._read("frontier", FRONTIER_SCHEMA), current_cycle_only
+        )
 
-    def visits(self) -> DataFrame:
-        return self.fetch_log().select("abs_url", "wave", "attempt", "ok")
+    def fetch_log(self, current_cycle_only: bool = False) -> DataFrame:
+        return self._cycle_scope(
+            self._read("fetch_log", FETCH_LOG_SCHEMA), current_cycle_only
+        )
+
+    def visits(self, current_cycle_only: bool = False) -> DataFrame:
+        return self.fetch_log(current_cycle_only).select(
+            "abs_url", "wave", "attempt", "ok", "cycle"
+        )
 
     def parsed_view(self, log: DataFrame) -> DataFrame:
         return log.where("ok").select(
@@ -202,9 +253,9 @@ class CrawlEngine:
             "d_singers", "d_directors", "d_lyricists", "d_other",
         )
 
-    def resolved(self) -> DataFrame:
-        return self._read(
-            "resolved", "dfs_key string, abs_url string, action string, wave int"
+    def resolved(self, current_cycle_only: bool = False) -> DataFrame:
+        return self._cycle_scope(
+            self._read("resolved", RESOLVED_SCHEMA), current_cycle_only
         )
 
     def documents(self) -> DataFrame | None:
@@ -216,7 +267,44 @@ class CrawlEngine:
         log = self.store.read("documents")
         if log is None:
             return None
-        return self._resolve_documents(log)
+        return self._with_timestamps(self._resolve_documents(log))
+
+    def _with_timestamps(self, docs: DataFrame) -> DataFrame:
+        """O2 metadata on a deterministic virtual clock (wave units —
+        golden tests stay exact). Reference semantics:
+
+        - ``save`` stamps last_updated = last_crawled = now on every
+          insert/update (db_operations.py:58-63, :80-83) → both default
+          to the winning save's wave;
+        - the D2 no-new-songs skip calls ``update_last_crawl(start_url,
+          movie_url)`` (db_operations.py:178-193, from
+          base_crawler.py:162-164), bumping last_crawled on every song
+          of that movie → greatest(save wave, latest skipped_no_new
+          resolution wave of the movie's URL). A touch can only postdate
+          the docs it matches (count equality ⟹ the songs already
+          exist), so greatest() is exact."""
+        touches = (
+            self.resolved()
+            .where(F.col("action") == "skipped_no_new")
+            .groupBy(F.col("abs_url").alias("movie_abs"))
+            .agg(F.max("wave").alias("touch_wave"))
+        )
+        return (
+            docs.withColumn("last_updated", F.col("wave"))
+            .join(
+                touches,
+                F.concat(F.col("start_url"), F.col("movie_url")) == F.col("movie_abs"),
+                "left",
+            )
+            .withColumn(
+                "last_crawled",
+                F.greatest(
+                    F.col("last_updated"),
+                    F.coalesce(F.col("touch_wave"), F.lit(-1)),
+                ),
+            )
+            .drop("movie_abs", "touch_wave")
+        )
 
     @staticmethod
     def _resolve_documents(merged_src: DataFrame) -> DataFrame:
@@ -236,8 +324,8 @@ class CrawlEngine:
         winners = (
             merged_src.groupBy("start_url", "song_url")
             .agg(
-                F.min("dfs_key").alias("kmin"),
-                F.max("dfs_key").alias("kmax"),
+                F.min(F.struct("cycle", "dfs_key")).alias("kmin"),
+                F.max(F.struct("cycle", "dfs_key")).alias("kmax"),
                 F.first("topology").alias("topo"),
             )
             .select(
@@ -245,22 +333,41 @@ class CrawlEngine:
                 "song_url",
                 F.when(F.col("topo") == 2, F.col("kmax"))
                 .otherwise(F.col("kmin"))
-                .alias("dfs_key"),
+                .alias("w"),
+            )
+            .select(
+                "start_url", "song_url",
+                F.col("w.cycle").alias("cycle"),
+                F.col("w.dfs_key").alias("dfs_key"),
             )
         )
-        # (start_url, song_url, dfs_key) is unique in the log — each
-        # occurrence is saved exactly once — so the semi-join keeps
-        # exactly one row per document.
+        # (start_url, song_url, cycle, dfs_key) is unique in the log —
+        # each occurrence is saved exactly once per cycle — so the
+        # semi-join keeps exactly one row per document. Ordering is
+        # lexicographic on (cycle, dfs_key): Type0/1 keep the first-ever
+        # save, Type2 the last re-save (latest cycle wins — re-crawls
+        # refresh Type2 content, db_operations.py:79-99 UPDATE path).
         return merged_src.join(
-            winners, ["start_url", "song_url", "dfs_key"], "left_semi"
+            winners, ["start_url", "song_url", "cycle", "dfs_key"], "left_semi"
         )
+
+    def load(self, doc_id: str) -> DataFrame:
+        """S8 point lookup (db_operations.py:107-122 ``load(id)`` — dead
+        code in the reference, exposed for §2 completeness): the resolved
+        documents row for one doc_id. On Iceberg this hits the sink's
+        partition/file pruning; here it's a filtered read of the
+        merge-on-read view."""
+        docs = self.documents()
+        if docs is None:
+            return self.spark.createDataFrame([], DOCS_SCHEMA)
+        return docs.where(F.col("doc_id") == doc_id)
 
     def metrics(self) -> DataFrame | None:
         return self.store.read("metrics")
 
     # ---------------- seeding (wave 0) ----------------
 
-    def _seed(self) -> None:
+    def _seed_cycle(self, cycle: int, wave: int) -> None:
         rows = []
         for spec in self.specs:
             graph = SiteGraph(spec)
@@ -277,12 +384,12 @@ class CrawlEngine:
                     (
                         seed_key(i, n), u, spec.start_url + u, spec.host,
                         spec.start_url, 0, 0,
-                        None, None, None, None, None, None, 0,
+                        None, None, None, None, None, None, wave, cycle,
                     )
                 )
         df = self.spark.createDataFrame(rows, FRONTIER_SCHEMA)
-        staged = [self.store.stage_append("frontier", df, 0)]
-        self.store.commit_wave(0, staged, {"seeds": len(rows)})
+        staged = [self.store.stage_append("frontier", df, wave)]
+        self.store.commit_wave(wave, staged, {"seeds": len(rows), "cycle": cycle})
 
     # ---------------- predicates ----------------
 
@@ -295,8 +402,9 @@ class CrawlEngine:
         return (topo.isin(0, 1) & (tt == 2)) | ((topo == 2) & (tt == 3))
 
     @staticmethod
-    def _url_state(V: DataFrame) -> DataFrame:
-        return V.groupBy("abs_url").agg(
+    def _url_state(V: DataFrame, by_cycle: bool = False) -> DataFrame:
+        keys = ["cycle", "abs_url"] if by_cycle else ["abs_url"]
+        return V.groupBy(*keys).agg(
             F.max("ok").alias("has_ok"),
             F.sum(F.when(~F.col("ok"), 1).otherwise(0)).alias("n_fail"),
         )
@@ -304,9 +412,10 @@ class CrawlEngine:
     # ---------------- the wave loop ----------------
 
     def run(self, max_waves: int | None = None) -> int:
-        """Run (or resume) to frontier exhaustion. Returns final wave."""
+        """Run (or resume) the current cycle to frontier exhaustion.
+        Returns final wave."""
         if self.store.last_wave() < 0:
-            self._seed()
+            self._seed_cycle(0, 0)
         wave = self.store.last_wave()
         waves_done = 0
         while max_waves is None or waves_done < max_waves:
@@ -316,15 +425,58 @@ class CrawlEngine:
             waves_done += 1
         return wave
 
+    def run_cycle(
+        self, specs: list[SiteSpec] | None = None, max_waves: int | None = None
+    ) -> int:
+        """F4: start the NEXT re-crawl cycle — one more iteration of the
+        reference's ``while True`` re-seed loop (base_crawler.py:112-147,
+        :296-325, :525-560) — and run it to exhaustion. ``specs``
+        replaces the site specs first (the live site changed between
+        cycles); per-URL failure determinism must be preserved (the spec
+        seed stays fixed). Non-leaf pages are re-fetched with fresh error
+        budgets; existing Type0/1 songs skip via the cross-cycle
+        exists_song probe; changed movie song-counts re-expand (D2);
+        Type2 leaves re-save (D4, latest cycle wins). Resume-safe: the
+        cycle number is part of the store manifest, so a killed cycle-2
+        run resumes inside cycle 2 via plain :meth:`run`."""
+        if self.store.last_wave() < 0:
+            raise RuntimeError("run_cycle() needs a completed first run(); seed first")
+        if specs is not None:
+            if {s.start_url for s in specs} != {s.start_url for s in self.specs}:
+                raise ValueError("re-crawl cycle must keep the same site set")
+            self._set_specs(specs)
+        self.cycle += 1
+        self.store.set_config("cycle", self.cycle)
+        self._seed_cycle(self.cycle, self.store.last_wave() + 1)
+        return self.run(max_waves=max_waves)
+
     def _run_wave(self, wave: int) -> bool:
+        # try/finally so a failed stage write can't leak cached blocks
+        # for the session lifetime (ADVICE r01).
+        persisted: list[DataFrame] = []
+        try:
+            return self._wave_body(wave, persisted)
+        finally:
+            for df in persisted:
+                df.unpersist()
+
+    def _wave_body(self, wave: int, persisted: list[DataFrame]) -> bool:
         # frontier is consulted by ~5 independent jobs per wave (work
         # list, resolution, expansion, leaf join) — cache it once per
         # wave instead of re-scanning the snapshot log each time.
-        Fr = self.frontier().persist()
-        log = self.fetch_log()
-        R = self.resolved()
-        us = self._url_state(self.visits())
+        Fr = self.frontier(True).persist()
+        persisted.append(Fr)
+        log = self.fetch_log(True)
+        R = self.resolved(True)
+        us = self._url_state(self.visits(True))
         dim = F.broadcast(self.site_dim)
+        # documents from PREVIOUS cycles: the cross-cycle exists_song /
+        # number_of_songs state (stable throughout a cycle). None in
+        # cycle 0 — every cross-cycle operator is statically elided.
+        doc_log = self.store.read("documents") if self.cycle > 0 else None
+        prev_docs = (
+            doc_log.where(F.col("cycle") < self.cycle) if doc_log is not None else None
+        )
 
         # distinct-URL work list (all occurrence fields per URL are equal
         # except depth/dfs_key, aggregated min)
@@ -373,6 +525,20 @@ class CrawlEngine:
         pending = urls.where(
             ~F.col("has_ok") & (F.col("n_fail") < F.col("max_err"))
         )
+        if prev_docs is not None:
+            # cross-cycle exists_song (base_crawler.py:195-202, :442-449):
+            # a Type0/1 song saved in an earlier cycle is skipped without
+            # a fetch. Within a cycle the settlement join already covers
+            # it; Type2 leaves always re-fetch (D4).
+            prev_keys = prev_docs.select(
+                F.col("start_url").alias("site"), F.col("song_url").alias("url")
+            ).distinct()
+            is_leaf01 = self._leaf(
+                F.col("topology"), F.col("task_type")
+            ) & F.col("topology").isin(0, 1)
+            pending = pending.where(~is_leaf01).unionByName(
+                pending.where(is_leaf01).join(prev_keys, ["site", "url"], "left_anti")
+            )
 
         # unresolved non-leaf occurrences over already-fetched URLs
         occ_dim = Fr.join(dim, "site")
@@ -427,10 +593,15 @@ class CrawlEngine:
         fetched = wave_urls.repartition(
             self.fetch_partitions, "abs_url"
         ).mapInPandas(make_fetch_parse(self.specs_by_site), FETCH_SCHEMA)
-        new_log_df = fetched.withColumn("wave", F.lit(wave)).selectExpr(
-            "abs_url", "wave", "attempt", "ok", "bytes", "partition_id",
-            "user_agent", "host", "delay_s", "children", "d_album",
-            "d_lyrics", "d_singers", "d_directors", "d_lyricists", "d_other",
+        new_log_df = (
+            fetched.withColumn("wave", F.lit(wave))
+            .withColumn("cycle", F.lit(self.cycle))
+            .selectExpr(
+                "abs_url", "wave", "attempt", "ok", "bytes", "partition_id",
+                "user_agent", "host", "delay_s", "children", "d_album",
+                "d_lyrics", "d_singers", "d_directors", "d_lyricists", "d_other",
+                "cycle",
+            )
         )
         new_log, n_fetched = self._stage_and_read(
             "fetch_log", new_log_df, wave, FETCH_LOG_SCHEMA, staged
@@ -477,16 +648,18 @@ class CrawlEngine:
         P_all = self.parsed_view(
             log if new_log is None else log.unionByName(new_log)
         ).persist()
+        persisted.append(P_all)
 
         # -------- resolution pass (F2 dispatch + D2 movie skip) --------
         # resolution sees THIS wave's fetches too (same-wave expand — no
         # dead resolution-only waves between depths)
         if new_log is not None:
             us_all = self._url_state(
-                self.visits().unionByName(
-                    new_log.select("abs_url", "wave", "attempt", "ok")
+                self.visits(True).unionByName(
+                    new_log.select("abs_url", "wave", "attempt", "ok", "cycle")
                 )
             ).persist()
+            persisted.append(us_all)
             unresolved = (
                 occ_dim.where(self._nonleaf(F.col("topology"), F.col("task_type")))
                 .join(
@@ -507,6 +680,26 @@ class CrawlEngine:
             .groupBy("abs_url")
             .agg(F.min("dfs_key").alias("expander_key"))
         )
+        # number_of_songs(start_url, movie_url) over PREVIOUS cycles
+        # (db_operations.py:196-211) — zero in cycle 0 (no join at all).
+        # Within a cycle the count is stable until the movie expands
+        # (its own songs are only saved after its pop; Type0 songs are
+        # movie-unique), so the reference's pop-time count check is
+        # reproducible relationally.
+        if prev_docs is not None:
+            n_prev_df = (
+                prev_docs.where(F.col("topology") == 0)
+                .groupBy(
+                    F.col("start_url").alias("site"),
+                    F.col("movie_url").alias("url"),
+                )
+                .agg(F.countDistinct("song_url").alias("n_prev"))
+            )
+            movies = movies.join(n_prev_df, ["site", "url"], "left").withColumn(
+                "n_prev", F.coalesce("n_prev", F.lit(0))
+            )
+        else:
+            movies = movies.withColumn("n_prev", F.lit(0).cast("bigint"))
         mv = (
             movies.join(expander, "abs_url")
             .withColumn("L", F.size("children"))
@@ -515,22 +708,54 @@ class CrawlEngine:
                 F.size(F.array_distinct(F.transform("children", lambda c: c["url"]))),
             )
         )
-        res_empty = mv.where(F.col("L") == 0).select(
-            "dfs_key", "abs_url", F.lit("skipped_no_new").alias("action")
+        # first occurrence (expander): the count check runs at pop time,
+        # nothing to wait for — skip iff number_of_songs == len(children)
+        # (base_crawler.py:158-172). Covers empty movies (0 == 0) and the
+        # cycle-2 no-new-songs mass skip (n_prev == L). Dup occurrences
+        # with an empty child list decide immediately by the same rule.
+        is_exp = F.col("dfs_key") == F.col("expander_key")
+        # a dup occurrence whose count ALREADY matches (n_prev == L, e.g.
+        # the cycle-2 mass-skip where the expander also skipped and
+        # enqueued nothing) decides immediately too — page content is a
+        # pure function of URL within a cycle, so its L equals the
+        # expander's, and a skipping expander leaves the count unchanged.
+        res_immediate = mv.where(
+            is_exp | (F.col("L") == 0) | (F.col("n_prev") == F.col("L"))
+        ).select(
+            "dfs_key", "abs_url",
+            F.when(F.col("n_prev") == F.col("L"), F.lit("skipped_no_new"))
+            .otherwise(F.lit("expanded"))
+            .alias("action"),
         )
-        res_expander = mv.where(
-            (F.col("L") > 0) & (F.col("dfs_key") == F.col("expander_key"))
-        ).select("dfs_key", "abs_url", F.lit("expanded").alias("action"))
 
+        # duplicate-movie occurrences pop AFTER the expander's whole
+        # subtree (LIFO): defer until every distinct child is settled —
+        # saved in a previous cycle, fetched-ok this cycle (⟹ saved), or
+        # dead this cycle — then apply the same count equality:
+        # number_of_songs = n_prev + newly-saved children.
         dup_movies = mv.where(
-            (F.col("L") > 0) & (F.col("dfs_key") != F.col("expander_key"))
+            ~is_exp & (F.col("L") > 0) & (F.col("n_prev") != F.col("L"))
         )
         song_urls = dup_movies.select(
-            "dfs_key", "abs_url", "site", "max_err", "L", "n_distinct",
+            "dfs_key", "abs_url", "site", "max_err", "L", "n_prev",
             F.explode(
                 F.array_distinct(F.transform("children", lambda c: c["url"]))
             ).alias("child_url"),
         ).withColumn("child_abs", F.concat(F.col("site"), F.col("child_url")))
+        if prev_docs is not None:
+            child_prev = (
+                prev_docs.select(
+                    F.col("start_url").alias("site"),
+                    F.col("song_url").alias("child_url"),
+                )
+                .distinct()
+                .withColumn("prev_doc", F.lit(True))
+            )
+            song_urls = song_urls.join(
+                child_prev, ["site", "child_url"], "left"
+            ).withColumn("prev_doc", F.coalesce("prev_doc", F.lit(False)))
+        else:
+            song_urls = song_urls.withColumn("prev_doc", F.lit(False))
         song_state = (
             song_urls.join(
                 us_all.withColumnRenamed("abs_url", "child_abs")
@@ -542,50 +767,48 @@ class CrawlEngine:
             .withColumn("s_has_ok", F.coalesce("s_has_ok", F.lit(False)))
             .withColumn("s_n_fail", F.coalesce("s_n_fail", F.lit(0)))
             .withColumn(
-                "settled", F.col("s_has_ok") | (F.col("s_n_fail") >= F.col("max_err"))
+                "settled",
+                F.col("prev_doc")
+                | F.col("s_has_ok")
+                | (F.col("s_n_fail") >= F.col("max_err")),
             )
-            .withColumn(
-                "s_dead", ~F.col("s_has_ok") & (F.col("s_n_fail") >= F.col("max_err"))
-            )
+            .withColumn("newly_saved", F.col("s_has_ok") & ~F.col("prev_doc"))
         )
         dup_decided = (
-            song_state.groupBy("dfs_key", "abs_url", "L", "n_distinct")
+            song_state.groupBy("dfs_key", "abs_url", "L", "n_prev")
             .agg(
                 F.min(F.col("settled").cast("int")).alias("all_settled"),
-                F.max(F.col("s_dead").cast("int")).alias("any_dead"),
+                F.sum(F.col("newly_saved").cast("int")).alias("n_new_saved"),
             )
             .where(F.col("all_settled") == 1)
             .withColumn(
                 "action",
                 F.when(
-                    (F.col("any_dead") == 1) | (F.col("n_distinct") != F.col("L")),
-                    F.lit("expanded"),
-                ).otherwise(F.lit("skipped_no_new")),
+                    F.col("n_prev") + F.col("n_new_saved") == F.col("L"),
+                    F.lit("skipped_no_new"),
+                ).otherwise(F.lit("expanded")),
             )
             .select("dfs_key", "abs_url", "action")
         )
 
         new_resolved_df = (
-            res_others.unionByName(res_empty)
-            .unionByName(res_expander)
+            res_others.unionByName(res_immediate)
             .unionByName(dup_decided)
             .withColumn("wave", F.lit(wave))
+            .withColumn("cycle", F.lit(self.cycle))
         )
         new_resolved, n_resolved = self._stage_and_read(
             "resolved",
             new_resolved_df,
             wave,
-            "dfs_key string, abs_url string, action string, wave int",
+            RESOLVED_SCHEMA,
             staged,
         )
         _t = _tick('resolution+stage', _t)
         if n_fetched == 0 and n_resolved == 0:
             # nothing progressed this wave: either the crawl is done, or
             # the engine is stuck (a bug). Decide with one final count.
-            done = unresolved.count() == 0
-            for df in (Fr, P_all, us_all):
-                df.unpersist()
-            if done:
+            if unresolved.count() == 0:
                 return False
             raise RuntimeError(
                 "wave made no progress: nothing pending and nothing resolvable"
@@ -664,6 +887,7 @@ class CrawlEngine:
                 F.col("c_label"),
             ).alias("song"),
             F.lit(wave).alias("wave_enq"),
+            F.lit(self.cycle).alias("cycle"),
         )
         new_kids, n_kids = self._stage_and_read(
             "frontier", new_frontier_df, wave, FRONTIER_SCHEMA, staged
@@ -678,12 +902,24 @@ class CrawlEngine:
             self._leaf(F.col("topology"), F.col("task_type"))
         )
         parts = []
+        # the parse wave rides along as `fetched_at` (O2: the virtual
+        # clock of the page fetch that produced this document's content).
         if new_log is not None:
-            parts.append(leaf_old.join(self.parsed_view(new_log).drop("children", "bytes", "wave"), "abs_url"))
+            parts.append(
+                leaf_old.join(
+                    self.parsed_view(new_log)
+                    .drop("children", "bytes")
+                    .withColumnRenamed("wave", "fetched_at"),
+                    "abs_url",
+                )
+            )
         parts.append(
             new_kids.join(dim, "site")
             .where(self._leaf(F.col("topology"), F.col("task_type")))
-            .join(P_all.drop("children", "bytes", "wave"), "abs_url")
+            .join(
+                P_all.drop("children", "bytes").withColumnRenamed("wave", "fetched_at"),
+                "abs_url",
+            )
         )
         delta = parts[0]
         for p in parts[1:]:
@@ -705,8 +941,6 @@ class CrawlEngine:
                 "wall_s": round(time.time() - t0, 3),
             },
         )
-        for df in (Fr, P_all, us_all):
-            df.unpersist()
         return True
 
     # ---------------- documents sink ----------------
@@ -780,6 +1014,8 @@ class CrawlEngine:
             "artist",
             "dfs_key",
             F.lit(wave).alias("wave"),
+            F.lit(self.cycle).alias("cycle"),
+            F.col("fetched_at").cast("int").alias("fetched_at"),
             spans_expr(
                 F.col("movie_u"), F.col("singers_u"), F.col("directors_u"),
                 F.col("lyricists_u"), F.col("lyrics_u"),
@@ -806,29 +1042,42 @@ class CrawlEngine:
         (golden contract). Only valid on a finished run."""
         dim = F.broadcast(self.site_dim)
         occ = self.frontier().join(dim, "site")
-        us = self._url_state(self.visits())
+        # URL state is per-cycle (fresh retry ladders each re-crawl pass);
+        # each occurrence joins its own cycle's ladder.
+        us = self._url_state(self.visits(), by_cycle=True)
         occ = (
-            occ.join(us, "abs_url", "left")
+            occ.join(us, ["cycle", "abs_url"], "left")
             .withColumn("has_ok", F.coalesce("has_ok", F.lit(False)))
             .withColumn("n_fail", F.coalesce("n_fail", F.lit(0)))
         )
         is_leaf = self._leaf(F.col("topology"), F.col("task_type"))
         wleaf = Window.partitionBy("abs_url")
-        occ = occ.withColumn(
-            "leaf_winner_key", F.min(F.when(is_leaf, F.col("dfs_key"))).over(wleaf)
-        ).join(
-            self.resolved().select(
-                "dfs_key", "abs_url", F.col("action").alias("res_action")
-            ),
-            ["dfs_key", "abs_url"],
-            "left",
+        # cross-cycle facts per URL: whether it EVER fetched ok (a Type0/1
+        # leaf saved in cycle 1 is not re-fetched in cycle 2 but is very
+        # much not dead), and the first-ever leaf occurrence (the saver —
+        # every later occurrence in any cycle is skipped_seen).
+        occ = (
+            occ.withColumn("has_ok_any", F.max("has_ok").over(wleaf))
+            .withColumn(
+                "leaf_winner",
+                F.min(
+                    F.when(is_leaf, F.struct("cycle", "dfs_key"))
+                ).over(wleaf),
+            )
+            .join(
+                self.resolved().select(
+                    "cycle", "dfs_key", "abs_url", F.col("action").alias("res_action")
+                ),
+                ["cycle", "dfs_key", "abs_url"],
+                "left",
+            )
         )
 
-        dead = ~F.col("has_ok")
+        dead = ~F.col("has_ok_any")
         skipped_seen = (
             is_leaf
             & F.col("topology").isin(0, 1)
-            & (F.col("dfs_key") != F.col("leaf_winner_key"))
+            & (F.struct("cycle", "dfs_key") != F.col("leaf_winner"))
         )
         is_movie = (F.col("topology") == 0) & (F.col("task_type") == 1)
 
@@ -853,7 +1102,7 @@ class CrawlEngine:
         err_rows = (
             occ.where(F.col("terminal_n") > 0)
             .select(
-                "site", "host", "url", "task_type", "dfs_key",
+                "site", "host", "url", "task_type", "cycle", "dfs_key",
                 F.explode(F.sequence(F.lit(0), F.col("terminal_n") - 1)).alias(
                     "n_errors"
                 ),
@@ -861,10 +1110,10 @@ class CrawlEngine:
             .withColumn("action", F.lit("error"))
         )
         term_rows = occ.select(
-            "site", "host", "url", "task_type", "dfs_key",
+            "site", "host", "url", "task_type", "cycle", "dfs_key",
             F.col("terminal_n").alias("n_errors"),
             F.col("terminal_action").alias("action"),
         )
         allrows = err_rows.unionByName(term_rows)
-        wseq = Window.partitionBy("site").orderBy("dfs_key", "n_errors")
+        wseq = Window.partitionBy("site").orderBy("cycle", "dfs_key", "n_errors")
         return allrows.withColumn("seq", F.row_number().over(wseq))

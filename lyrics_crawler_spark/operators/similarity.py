@@ -72,23 +72,51 @@ def brute_force_topk(
 
 
 def cosine_neardup_pairs(
-    df: DataFrame, max_id: int, threshold_m: int = 800,
+    df: DataFrame, max_id: int | None = None, threshold_m: int = 800,
     vec_col: str = "embedding", key_col: str = "vec_id",
+    exact: bool = False, n_planes: int = 8,
 ) -> DataFrame:
     """Embedding-cosine near-dup: unordered pairs with cosine ≥
     threshold_m/1000. cos_m = floor(1000·dot/sqrt(na2·nb2)) is
     engine-portable: the integer inputs are exact as doubles
     (dot < 2^53, na2·nb2 < 2^53) and sqrt/division are correctly
-    rounded IEEE in both Spark and DuckDB."""
-    z = quantized(df.where(F.col(key_col) < max_id), vec_col, key_col)
-    a = z.select(
-        F.col(key_col).alias("id_a"), F.col("q").alias("qa"), F.col("norm2").alias("na2")
-    )
-    b = z.select(
-        F.col(key_col).alias("id_b"), F.col("q").alias("qb"), F.col("norm2").alias("nb2")
-    )
+    rounded IEEE in both Spark and DuckDB.
+
+    The DEFAULT path is LSH-bucketed (the 100 TB scale path): both sides
+    route through :func:`lsh_ann_buckets` and only same-bucket pairs are
+    compared — a shuffled equi-join, never a cross join, so the work is
+    O(n · bucket) instead of O(n²). Each vector has exactly one bucket,
+    so pairs emerge once (no dedup pass needed). Recall is tuned by
+    ``n_planes`` (fewer planes → bigger buckets → higher recall).
+
+    ``exact=True`` is the all-pairs correctness mode for oracle-capped
+    runs: it REQUIRES ``max_id`` (refuses to run unbounded — a broadcast
+    nested-loop over n²/2 pairs must never reach a production path)."""
+    scope = df if max_id is None else df.where(F.col(key_col) < max_id)
+    z = quantized(scope, vec_col, key_col)
+    if exact:
+        if max_id is None:
+            raise ValueError("exact=True requires max_id (all-pairs mode is oracle-only)")
+        a = z.select(
+            F.col(key_col).alias("id_a"), F.col("q").alias("qa"), F.col("norm2").alias("na2")
+        )
+        b = z.select(
+            F.col(key_col).alias("id_b"), F.col("q").alias("qb"), F.col("norm2").alias("nb2")
+        )
+        pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    else:
+        zb = z.join(lsh_ann_buckets(scope, n_planes, vec_col, key_col), key_col)
+        a = zb.select(
+            F.col(key_col).alias("id_a"), F.col("q").alias("qa"),
+            F.col("norm2").alias("na2"), "bucket",
+        )
+        b = zb.select(
+            F.col(key_col).alias("id_b"), F.col("q").alias("qb"),
+            F.col("norm2").alias("nb2"), "bucket",
+        )
+        pairs = a.join(b, "bucket").where(F.col("id_a") < F.col("id_b"))
     return (
-        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        pairs
         .withColumn(
             "dot",
             F.expr(

@@ -162,10 +162,17 @@ def simhash(docs: DataFrame, text_col: str = "text", key_col: str = "doc_id",
 def ngram_jaccard_pairs(
     docs: DataFrame, text_col: str = "text", key_col: str = "doc_id",
     n: int = 3, threshold: float = 0.5, max_id: int | None = None,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
-    """Jaccard similarity on word n-gram shingle *sets* via explode +
-    self-equi-join on the shingle (the verification stage after LSH).
-    ``max_id`` bounds the id range for oracle-checked runs."""
+    """Jaccard similarity on word n-gram shingle *sets* — the exact
+    verification stage after LSH.
+
+    With ``candidates`` (a DataFrame of unordered ``(id_a, id_b)`` pairs,
+    e.g. :func:`lsh_candidate_pairs` output) the intersection is computed
+    by joining the candidate set to each side's shingles — work bounded
+    by ``|candidates| · shingles_per_doc``, the 100 TB path. Without it,
+    the shingle self-equi-join runs, which is quadratic on hot shingles:
+    that mode REQUIRES ``max_id`` (oracle-capped runs only)."""
     base = docs
     if max_id is not None:
         base = docs.where(F.col(key_col) < max_id)
@@ -174,14 +181,33 @@ def ngram_jaccard_pairs(
         f"explode(array_distinct({shingles_expr(text_col, n)})) as shingle",
     )
     sizes = sh.groupBy(key_col).agg(F.count("*").alias("n_sh"))
-    a = sh.withColumnRenamed(key_col, "id_a")
-    b = sh.withColumnRenamed(key_col, "id_b")
-    inter = (
-        a.join(b, "shingle")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
+    if candidates is not None:
+        # candidate-bounded intersection: pair ⋈ a-shingles on id_a,
+        # then ⋈ b-shingles on (id_b, shingle). Hot shingles cost
+        # nothing extra — every join carries a doc id key.
+        cand = candidates.select("id_a", "id_b")
+        a = sh.select(F.col(key_col).alias("id_a"), "shingle")
+        b = sh.select(F.col(key_col).alias("id_b"), "shingle")
+        inter = (
+            cand.join(a, "id_a")
+            .join(b, ["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_inter"))
+        )
+    else:
+        if max_id is None:
+            raise ValueError(
+                "all-pairs shingle self-join requires max_id; pass candidates= "
+                "for the scale path"
+            )
+        a = sh.withColumnRenamed(key_col, "id_a")
+        b = sh.withColumnRenamed(key_col, "id_b")
+        inter = (
+            a.join(b, "shingle")
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_inter"))
+        )
     sa = sizes.withColumnRenamed(key_col, "id_a").withColumnRenamed("n_sh", "n_a")
     sb = sizes.withColumnRenamed(key_col, "id_b").withColumnRenamed("n_sh", "n_b")
     return (

@@ -62,7 +62,10 @@ class ReferenceOracle:
         self.adapters = ADAPTERS[spec.dialect]
         self.queue: LifoQueue = LifoQueue()
         self.result = OracleResult()
+        self.cycle = 0
         self.last_crawled_touches = 0
+        # (movie_url, cycle) per update_last_crawl call (O2 touch set)
+        self.touches: list[tuple[str, int]] = []
 
     # ---------------- db_operations emulation ----------------
 
@@ -85,6 +88,7 @@ class ReferenceOracle:
         # build_spans (P17).
         from html import unescape
 
+        prior = self.result.docs.get((self.spec.start_url, song_url))
         self.result.docs[(self.spec.start_url, song_url)] = {
             "song": unescape(song),
             "song_url": song_url,
@@ -93,6 +97,12 @@ class ReferenceOracle:
             "start_url": self.spec.start_url,
             "artist": artist,
             "spans": build_spans(movie, singers, directors, lyricists, lyrics),
+            # O2: save() stamps last_updated=last_crawled=now on insert
+            # AND update (db_operations.py:58-63,:80-83); the virtual
+            # clock is the cycle number. first_cycle = the Type0/1 win
+            # rule's cycle (first save); updated_cycle = the Type2 one.
+            "first_cycle": prior["first_cycle"] if prior else self.cycle,
+            "updated_cycle": self.cycle,
         }
 
     # ---------------- plumbing ----------------
@@ -143,6 +153,19 @@ class ReferenceOracle:
                 self.queue.put(task)  # back on top → retried next pop
         return self.result
 
+    def run_cycle(self, spec: SiteSpec | None = None) -> OracleResult:
+        """F4: the next iteration of the reference's ``while True``
+        re-seed loop (base_crawler.py:112-147) — optionally against a
+        mutated site (graph replaced, DB state kept). The trace keeps
+        appending; docs/seen persist across cycles."""
+        self.cycle += 1
+        if spec is not None:
+            assert spec.start_url == self.spec.start_url
+            self.spec = spec
+            self.graph = SiteGraph(spec)
+            self.adapters = ADAPTERS[spec.dialect]
+        return self.run()
+
     # ---------------- CrawlerType0 (base_crawler.py:29-277) ----------------
 
     def _handle_type0(self, task):
@@ -157,6 +180,7 @@ class ReferenceOracle:
             songs = self.adapters["songs"](html)
             if self._number_of_songs(task["url"]) == len(songs):
                 self.last_crawled_touches += 1  # update_last_crawl (O2)
+                self.touches.append((task["url"], self.cycle))
                 self._emit(task, "skipped_no_new")
                 return
             for song_url, song in songs:

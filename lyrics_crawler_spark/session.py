@@ -23,7 +23,10 @@ def get_spark(
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    master = master or f"local[{cpus}]"
+    # master="" → don't set a master at all: spark-submit provides it
+    # (scripts/submit_crawl.py). Any other None → local[cpus].
+    if master is None:
+        master = f"local[{cpus}]"
     # local[N] → match shuffle width to N; cluster → caller sets it.
     if shuffle_partitions is None:
         if master.startswith("local["):
@@ -32,9 +35,11 @@ def get_spark(
         else:
             shuffle_partitions = 200
 
+    builder = SparkSession.builder
+    if master:
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.master(master)
-        .appName(app_name)
+        builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")

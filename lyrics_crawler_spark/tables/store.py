@@ -58,6 +58,17 @@ class SnapshotStore:
             json.dump(manifest, f, indent=1)
         os.replace(tmp, self._manifest_path())  # atomic commit
 
+    def set_config(self, key: str, value) -> None:
+        """Record engine configuration that is part of the store's
+        identity (e.g. bloom params) — checked at resume (Iceberg:
+        table properties)."""
+        m = self.read_manifest()
+        m.setdefault("config", {})[key] = value
+        self._write_manifest(m)
+
+    def get_config(self, key: str):
+        return self.read_manifest().get("config", {}).get(key)
+
     # ---------------- writes (staged until commit_wave) ----------------
 
     def stage_append(self, table: str, df: DataFrame, wave: int) -> dict:

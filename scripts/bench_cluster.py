@@ -41,6 +41,26 @@ SCALE = float(sys.argv[1]) if len(sys.argv) > 1 else 40.0
 WORK = "/tmp/lcs_cluster"
 
 
+def wait_workers(n: int, timeout: float = 90.0) -> None:
+    """Poll the master's JSON endpoint until n workers are ALIVE — a
+    fixed sleep can let the runner submit before every worker attaches,
+    silently running on fewer executors (ADVICE r01)."""
+    import urllib.request
+
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        try:
+            with urllib.request.urlopen("http://127.0.0.1:42099/json", timeout=5) as r:
+                d = json.load(r)
+            alive = sum(1 for w in d.get("workers", []) if w.get("state") == "ALIVE")
+            if alive >= n:
+                return
+        except Exception:
+            pass
+        time.sleep(0.5)
+    raise RuntimeError(f"{n} workers never registered with the master")
+
+
 def wait_port(port: int, timeout: float = 60.0) -> None:
     t0 = time.time()
     while time.time() - t0 < timeout:
@@ -94,6 +114,10 @@ spark = get_spark(
     },
 )
 spark.sparkContext.addPyFile(zip_path)
+# assert the app actually owns cores_max cores (all workers attached);
+# a missing worker would deflate the scaling number silently.
+got = spark.sparkContext.defaultParallelism
+assert got == cores_max, f"executor cores {got} != requested {cores_max}"
 # warm on a smaller-but-real crawl; big measured inputs get ONE run
 # (JIT is path-warm after the warmup; >=2 runs at huge scale would
 # double an already-long protocol for a ~10% tighter number)
@@ -118,7 +142,7 @@ def run_level(n_workers: int, zip_path: str) -> dict:
             "--work-dir", os.path.join(WORK, f"worker{i}"),
             pin=pin, log=os.path.join(WORK, f"worker{i}.log"),
         ))
-    time.sleep(5)
+    wait_workers(n_workers)
     try:
         env = dict(os.environ, SPARK_DRIVER_MEMORY="16g")
         out = subprocess.run(

@@ -49,14 +49,17 @@ def main(argv=None) -> int:
                     help="override spark.sql.shuffle.partitions")
     args = ap.parse_args(argv)
 
-    from pyspark.sql import SparkSession
+    # master="" → spark-submit's --master/--conf are honored, but the
+    # engine's required configs (ParallelGC, autoBroadcastJoinThreshold
+    # off, AQE, UTC, Arrow) still apply via the shared builder
+    # (ADVICE r01: a bare SparkSession silently missed all of them).
+    from lyrics_crawler_spark.session import get_spark
 
-    builder = SparkSession.builder.appName("lcs-crawl")
-    if args.shuffle_partitions:
-        builder = builder.config(
-            "spark.sql.shuffle.partitions", str(args.shuffle_partitions)
-        )
-    spark = builder.getOrCreate()
+    spark = get_spark(
+        "lcs-crawl",
+        master="",
+        shuffle_partitions=args.shuffle_partitions or 32,
+    )
 
     from lyrics_crawler_spark.engine import CrawlEngine
     from lyrics_crawler_spark.sitegen.graph import SiteSpec

@@ -80,6 +80,10 @@ def test_rows_only_crawl_queries(spark):
     spans = qs["crawl_documents_spans"](spark, SF_DIR)
     assert spans.where("kind = 'media'").count() > 0
     feats = qs["crawl_media_features"](spark, SF_DIR)
-    assert feats.count() > 0
+    # the driver canonicalizer sorts EVERY column in pandas — unhashable
+    # cells (lists/arrays) crash it (the one red row in r01); emulate it.
+    fpdf = feats.toPandas()
+    fpdf.sort_values(list(fpdf.columns))
+    assert len(fpdf) > 0
     seen = qs["crawl_seen_set"](spark, SF_DIR)
     assert seen.count() > 0

@@ -54,6 +54,39 @@ def test_cosine_topk_broadcasts_corpus(spark):
     assert c["n_python_stages"] == 0  # int dot product via zip_with/aggregate
 
 
+def test_neardup_lsh_never_nested_loop(spark):
+    """The default (bucketed) near-dup path must plan as an equi-join on
+    the LSH bucket — no BroadcastNestedLoopJoin / cartesian product even
+    with UNBOUNDED ids (VERDICT r01 'what's wrong' #2)."""
+    from lyrics_crawler_spark.operators.similarity import cosine_neardup_pairs
+
+    e = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+    p = formatted_plan(cosine_neardup_pairs(e, threshold_m=400))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    # exact mode refuses to run unbounded
+    with pytest.raises(ValueError):
+        cosine_neardup_pairs(e, threshold_m=400, exact=True)
+
+
+def test_jaccard_candidate_join_is_bounded(spark, docs):
+    """With a candidate pair set, every shuffle carrying `shingle` also
+    carries a doc id key — the quadratic hot-shingle self-join
+    (hashpartitioning on shingle alone) must not appear; without
+    candidates the all-pairs mode refuses to run unbounded
+    (VERDICT r01 'what's wrong' #3)."""
+    from lyrics_crawler_spark.operators.textdedup import (
+        lsh_candidate_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    with pytest.raises(ValueError):
+        ngram_jaccard_pairs(docs)
+    cands = lsh_candidate_pairs(docs, max_id=100)
+    p = formatted_plan(ngram_jaccard_pairs(docs, max_id=100, candidates=cands))
+    assert "hashpartitioning(shingle" not in p
+
+
 def test_engine_wave_python_stage_budget(spark, tmp_store):
     """The crawl's per-wave plans use Python in exactly two places —
     the fetch+parse mapInPandas and the sink unescape (plus the optional
