@@ -157,6 +157,40 @@ class CrawlEngine:
         self.fetch_partitions = fetch_partitions or int(
             spark.conf.get("spark.sql.shuffle.partitions")
         )
+        self._pool = None  # lazy background-write thread pool
+
+    def _bg_pool(self):
+        from concurrent.futures import ThreadPoolExecutor
+
+        if self._pool is None:
+            # Spark job submission is thread-safe; per-wave side writes
+            # (metrics, bloom delta, resolved log, documents deltas) run
+            # here so only fetch-select and resolve+fan-out stay on the
+            # wave's critical path (per-wave serial job latency is the
+            # scaling-efficiency cap — BENCH.md).
+            self._pool = ThreadPoolExecutor(
+                max_workers=5, thread_name_prefix="lcs-wave-bg"
+            )
+        return self._pool
+
+    def _stage_append_bg(self, table: str, df: DataFrame, wave: int, futures: list):
+        """Stage an append snapshot on a background thread. The future
+        resolves to ``(manifest_entry_or_None, row_count)``; empty
+        snapshots resolve to (None, 0) and are dropped from the commit.
+        Uncommitted output of a failed wave is orphaned data, invisible
+        to readers — the same crash-safety story as the foreground path."""
+
+        def job():
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            entry = self.store.stage_append(
+                table, df.observe(obs, F.count(F.lit(1)).alias("n")), wave
+            )
+            n = obs.get["n"]
+            return (entry if n else None), n
+
+        futures.append(self._bg_pool().submit(job))
 
     def _set_specs(self, specs: list[SiteSpec]) -> None:
         """Install (or replace, between re-crawl cycles) the site specs
@@ -610,6 +644,10 @@ class CrawlEngine:
             new_log = None
         _t = _tick('fetch+stage', _t)
 
+        # side writes that depend only on this wave's fetch-log file run
+        # on background threads, off the wave's critical path; their
+        # manifest entries are gathered before commit.
+        bg: list = []
         if new_log is not None:
             snapshot_id = staged[-1]["path"]
             # per-wave, per-host, per-partition lineage metrics (O4)
@@ -625,7 +663,7 @@ class CrawlEngine:
                 .withColumn("wave", F.lit(wave))
                 .withColumn("snapshot_id", F.lit(snapshot_id))
             )
-            staged.append(self.store.stage_append("metrics", met, wave))
+            self._stage_append_bg("metrics", met, wave, bg)
             if self.bloom_seen:
                 # bloom delta for every URL attempted this wave (ok and
                 # failed — mirrors _url_state, which counts both). One
@@ -637,10 +675,8 @@ class CrawlEngine:
                     new_log.select(F.xxhash64("abs_url").alias("url_hash")),
                     **self._bloom_params,
                 )
-                staged.append(
-                    self.store.stage_append("url_bloom", delta_bits, wave)
-                )
-            _t = _tick('metrics', _t)
+                self._stage_append_bg("url_bloom", delta_bits, wave, bg)
+            _t = _tick('metrics-submit', _t)
 
         # parsed view + settled URL state each feed 2-3 jobs this wave;
         # cache both (they are groupBy/projection of the full fetch log —
@@ -791,28 +827,21 @@ class CrawlEngine:
             .select("dfs_key", "abs_url", "action")
         )
 
-        new_resolved_df = (
+        new_resolved = (
             res_others.unionByName(res_immediate)
             .unionByName(dup_decided)
             .withColumn("wave", F.lit(wave))
             .withColumn("cycle", F.lit(self.cycle))
+            .persist()
         )
-        new_resolved, n_resolved = self._stage_and_read(
-            "resolved",
-            new_resolved_df,
-            wave,
-            RESOLVED_SCHEMA,
-            staged,
-        )
-        _t = _tick('resolution+stage', _t)
-        if n_fetched == 0 and n_resolved == 0:
-            # nothing progressed this wave: either the crawl is done, or
-            # the engine is stuck (a bug). Decide with one final count.
-            if unresolved.count() == 0:
-                return False
-            raise RuntimeError(
-                "wave made no progress: nothing pending and nothing resolvable"
-            )
+        persisted.append(new_resolved)
+        # the resolved-log write rides a background thread; the kids job
+        # below consumes the same cached resolution (whichever job runs a
+        # partition first materializes it — block locks dedup the work),
+        # so resolve+fan-out is ONE foreground job, not two.
+        self._stage_append_bg("resolved", new_resolved, wave, bg)
+        f_resolved = bg[-1]
+        _t = _tick('resolution-submit', _t)
 
         # -------- children fan-out (X1–X6 + robots + LIFO rank keys) ----
         exp = (
@@ -894,42 +923,62 @@ class CrawlEngine:
         )
         _t = _tick('kids+stage', _t)
 
-        # -------- documents MERGE (O1) --------
+        n_resolved = f_resolved.result()[1]
+        if n_fetched == 0 and n_resolved == 0:
+            # nothing progressed this wave (n_kids is necessarily 0 —
+            # kids explode out of expanded resolutions): either the crawl
+            # is done, or the engine is stuck (a bug). Join the side
+            # writes (all empty) and decide with one final count.
+            for f in bg:
+                f.result()
+            if unresolved.count() == 0:
+                return False
+            raise RuntimeError(
+                "wave made no progress: nothing pending and nothing resolvable"
+            )
+
+        # -------- documents MERGE (O1) — two background deltas --------
         # delta = leaf occurrences saved exactly once: old occurrences
         # whose URL was parsed THIS wave ∪ occurrences enqueued this wave
-        # whose URL is parsed (covers late dup-movie expansions).
+        # whose URL is parsed (covers late dup-movie expansions). The two
+        # parts are disjoint (old vs enqueued-this-wave), so they commit
+        # as two merge-on-read deltas; neither is on the critical path.
         leaf_old = Fr.join(dim, "site").where(
             self._leaf(F.col("topology"), F.col("task_type"))
         )
-        parts = []
         # the parse wave rides along as `fetched_at` (O2: the virtual
         # clock of the page fetch that produced this document's content).
         if new_log is not None:
-            parts.append(
+            self._merge_documents(
                 leaf_old.join(
                     self.parsed_view(new_log)
                     .drop("children", "bytes")
                     .withColumnRenamed("wave", "fetched_at"),
                     "abs_url",
-                )
+                ),
+                wave,
+                bg,
             )
-        parts.append(
-            new_kids.join(dim, "site")
-            .where(self._leaf(F.col("topology"), F.col("task_type")))
-            .join(
-                P_all.drop("children", "bytes").withColumnRenamed("wave", "fetched_at"),
-                "abs_url",
+        if n_kids > 0:
+            self._merge_documents(
+                new_kids.join(dim, "site")
+                .where(self._leaf(F.col("topology"), F.col("task_type")))
+                .join(
+                    P_all.drop("children", "bytes").withColumnRenamed(
+                        "wave", "fetched_at"
+                    ),
+                    "abs_url",
+                ),
+                wave,
+                bg,
             )
-        )
-        delta = parts[0]
-        for p in parts[1:]:
-            delta = delta.unionByName(p)
-        # termination waves (nothing fetched, nothing enqueued) can't
-        # produce documents; otherwise the delta plan runs exactly once
-        # (the append write — its Observation count gates empty commits).
-        if n_fetched > 0 or n_kids > 0:
-            self._merge_documents(delta, wave, staged)
-        _t = _tick('docs-merge', _t)
+        _t = _tick('docs-submit', _t)
+
+        for f in bg:
+            entry, _n = f.result()
+            if entry:
+                staged.append(entry)
+        _t = _tick('bg-gather', _t)
 
         self.store.commit_wave(
             wave,
@@ -945,7 +994,7 @@ class CrawlEngine:
 
     # ---------------- documents sink ----------------
 
-    def _merge_documents(self, delta: DataFrame, wave: int, staged: list) -> None:
+    def _merge_documents(self, delta: DataFrame, wave: int, futures: list) -> None:
         """Per-wave MERGE INTO documents, merge-on-read style: the wave
         appends its delta (O(wave) commit, never O(state)); the win rule
         — Type0/1 keep the MIN-dfs_key occurrence (first pop saves,
@@ -1022,9 +1071,10 @@ class CrawlEngine:
             ).alias("spans"),
         )
         # append the delta only — the win-rule resolves at read
-        # (:meth:`documents`); a wave never rewrites history. The write's
-        # Observation count drops empty deltas from the commit.
-        self._stage_and_read("documents", docs_delta, wave, DOCS_SCHEMA, staged)
+        # (:meth:`documents`); a wave never rewrites history. The write
+        # runs on a background thread (it gates nothing downstream in the
+        # wave); its Observation count drops empty deltas from the commit.
+        self._stage_append_bg("documents", docs_delta, wave, futures)
 
     # ---------------- derived outputs ----------------
 

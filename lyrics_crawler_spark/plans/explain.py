@@ -16,6 +16,8 @@ DataFrames, and scripts/dump_plans.py writes them to PLANS.md for review.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 
 
@@ -23,6 +25,18 @@ def formatted_plan(df: DataFrame) -> str:
     return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
         df._jdf.queryExecution(), "formatted"
     )
+
+
+def _codegen_subtrees(df: DataFrame) -> int:
+    """WholeStageCodegen span count. The formatted/simple explain of an
+    un-executed AQE plan carries no codegen annotations at all (they are
+    assigned at codegen time), so ask the codegen explain mode, whose
+    header is authoritative: 'Found N WholeStageCodegen subtrees.'"""
+    p = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "codegen"
+    )
+    m = re.search(r"Found (\d+) WholeStageCodegen subtrees", p)
+    return int(m.group(1)) if m else 0
 
 
 def plan_checks(df: DataFrame) -> dict:
@@ -33,9 +47,11 @@ def plan_checks(df: DataFrame) -> dict:
         # joins (e.g. query-side × broadcast corpus in brute-force topk)
         "has_broadcast_join": "BroadcastHashJoin" in p
         or "BroadcastNestedLoopJoin" in p,
-        "n_codegen_spans": p.count("WholeStageCodegen"),
+        "n_codegen_spans": _codegen_subtrees(df),
         "n_python_stages": p.count("ArrowEvalPython") + p.count("MapInPandas"),
-        "scans": p.count("Scan parquet"),
+        # each scan appears once in the tree and once in the detail
+        # section of a formatted plan — count the detail headers only
+        "scans": len(re.findall(r"^\(\d+\) Scan parquet", p, re.M)),
     }
 
 

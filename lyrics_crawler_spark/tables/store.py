@@ -26,12 +26,18 @@ byte-identical.
 
 from __future__ import annotations
 
+import itertools
 import json
 import os
 import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
+
+# process-wide snapshot sequence: staged writes may run on concurrent
+# background threads within a wave (engine._stage_append_bg), and a
+# millisecond timestamp alone could collide for same-table appends.
+_SNAP_SEQ = itertools.count()
 
 
 class SnapshotStore:
@@ -74,7 +80,9 @@ class SnapshotStore:
     def stage_append(self, table: str, df: DataFrame, wave: int) -> dict:
         """Write an immutable snapshot dir for ``table``; it becomes
         visible only when commit_wave() publishes it in the manifest."""
-        snap_id = f"{wave:05d}-{int(time.time() * 1000) % 100000:05d}"
+        snap_id = (
+            f"{wave:05d}-{int(time.time() * 1000) % 100000:05d}-{next(_SNAP_SEQ):04d}"
+        )
         path = os.path.join(self.base_dir, table, f"snap-{snap_id}")
         df.write.mode("overwrite").parquet(path)
         return {"table": table, "path": path, "wave": wave, "mode": "append"}
