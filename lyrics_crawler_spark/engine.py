@@ -4,14 +4,23 @@ reference's thread/queue machinery (base_crawler.py:45-145 and twins).
 Execution model (SURVEY.md §3.1 "Spark lifecycle equivalent"):
 
     while pending work:
-        1. derive URL settlement state from the append-only fetch log
-        2. pick this wave's fetch set: per-site minimum pending depth
-           (BSP frontier expansion), per-host politeness budget top-k
-        3. one Arrow-batched fetch+parse pass (mapInPandas)
-        4. resolve non-leaf occurrences (F2 dispatch + the movie
-           count-equality skip D2), explode children with robots
-           anti-join + LIFO rank keys, MERGE the documents sink
+        1. read the `pending` carry table (the frontier worklist: one
+           pre-aggregated row per live URL) and pick this wave's fetch
+           set: per-site minimum pending depth (BSP frontier expansion),
+           per-host politeness budget top-k
+        2. one Arrow-batched fetch+parse pass (mapInPandas) → fetch_log
+        3. resolve non-leaf occurrences off the `unresolved` carry (F2
+           dispatch + the movie count-equality skip D2), explode
+           children with robots anti-join + LIFO rank keys
+        4. background: metrics, bloom delta, resolved log, documents
+           MERGE deltas, and the three carry-table updates
         5. commit one snapshot manifest (checkpoint; resume-safe)
+
+Steps 1-3 are the only foreground jobs (TWO writes per wave); step 4
+overlaps them on a thread pool. Every step touches O(|pending|+|wave|)
+rows — the full history logs are read only by the kid URL-seen probe
+(bloom-pruned when `bloom_seen`, one slim aggregate otherwise) and by
+broadcast-filtered lookups for rare late-resolution rows.
 
 Why waves reproduce the single-threaded LIFO trace exactly:
 
@@ -32,13 +41,17 @@ Why waves reproduce the single-threaded LIFO trace exactly:
   occurrence's retry ladder is reconstructed relationally.
 
 Scale notes (the 10^10-frontier design):
-- all state tables are append-only logs; a wave commits O(wave) bytes,
-  never O(state) — except the documents MERGE, which is copy-on-write
-  here and becomes an Iceberg merge-on-read MERGE INTO on a cluster;
-- the settlement join (frontier ⋈ fetch_log) is an equi-join on abs_url —
-  hash-partitioned, AQE-skew-handled; per-host politeness windows run
-  only for capped hosts (uncapped hosts never shuffle for selection);
-- site/robots dimensions are broadcast joins;
+- history tables are append-only logs (O(wave) commit, never O(state));
+  the documents MERGE is merge-on-read deltas + an associative win rule
+  (Iceberg: MERGE INTO with row deltas); the three carry tables
+  (pending / unresolved / leaf_unsaved) are replace-mode snapshots
+  sized O(live work), reconstructible from the logs (Iceberg: MERGE
+  targets);
+- the URL-seen structure is the partitioned bloom (operators/urlseen):
+  new kid URLs that provably were never attempted skip history entirely;
+  only the maybe-seen remainder pays a pre-filtered history scan;
+- site/robots dimensions are broadcast joins; per-host politeness
+  windows run only for capped hosts (uncapped hosts never shuffle);
 - the fetch stage repartitions by URL hash (domain-salted spread,
   north-rule axis B) so one giant host cannot pin a partition.
 """
@@ -95,6 +108,41 @@ DOCS_SCHEMA = (
     "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
 )
 
+# ---- carry tables (replace-mode snapshots; the O(wave) wave state) ----
+# The wave loop never re-derives its work from the full history logs:
+# each wave reads three pre-aggregated carry tables written by the
+# previous wave and touches O(|pending| + |wave|) rows. The append-only
+# logs (frontier, fetch_log, resolved, documents, metrics) remain the
+# lineage/trace/golden substrate; the carries are pure acceleration
+# state and are reconstructible from the logs. On Iceberg each carry is
+# a MERGE target table; here it is a replace-mode snapshot per wave.
+
+# one row per live URL: not yet fetched-ok, error budget not exhausted
+PENDING_SCHEMA = (
+    "abs_url string, site string, host string, url string, task_type int, "
+    "depth int, min_key string, n_fail long"
+)
+
+# one row per unresolved non-leaf OCCURRENCE. url_ok flips when the
+# URL's parse lands; `children` is attached at flip (or at insert for
+# dup occurrences of already-fetched URLs) so deferred dup-movie
+# decisions never re-read page history. is_exp marks the expander
+# occurrence (min dfs_key of the URL's first batch — the occurrence the
+# sequential reference pops first).
+UNRESOLVED_SCHEMA = (
+    "dfs_key string, abs_url string, site string, host string, url string, "
+    "task_type int, depth int, movie string, artist string, "
+    "is_exp boolean, url_ok boolean, n_prev long, "
+    "children array<struct<url:string,label:string,child_type:int,album:string>>"
+)
+
+# one row per leaf occurrence awaiting its URL's parse
+LEAF_UNSAVED_SCHEMA = (
+    "dfs_key string, abs_url string, site string, host string, url string, "
+    "task_type int, movie string, movie_url string, artist string, "
+    "album string, album_url string, song string"
+)
+
 
 class CrawlEngine:
     def __init__(
@@ -109,14 +157,14 @@ class CrawlEngine:
         bloom_k: int = 4,
     ):
         """``bloom_seen`` enables the partitioned bloom URL-seen
-        pre-filter (operators/urlseen.py): frontier URLs the bloom
-        proves unfetched skip the exact settlement join entirely; only
-        the maybe-seen remainder (true hits + ~2% fp at k=4) pays it.
-        Results are identical either way (fp resolved exactly) — the
-        flag trades an extra Arrow stage per wave for a much smaller
-        seen-join, the right trade once the fetch log dwarfs a wave
-        (the 10^10-URL regime; at sandbox scale the exact join is
-        already cheap, so benches default it off)."""
+        pre-filter (operators/urlseen.py) on the kid probe: newly
+        exploded URLs the bloom proves never-attempted skip the
+        committed-history scan entirely; only the maybe-seen remainder
+        (true dups + ~2% fp at k=4) pays a pre-filtered scan. Results
+        are identical either way (fp resolved exactly). Off, the probe
+        is one slim full-log aggregate per wave — the only O(state)
+        shuffle left in the wave loop, which is exactly what the bloom
+        removes at the 10^10-URL design point."""
         self.spark = spark
         self.bloom_seen = bloom_seen
         self._bloom_params = {
@@ -191,6 +239,24 @@ class CrawlEngine:
             return (entry if n else None), n
 
         futures.append(self._bg_pool().submit(job))
+
+    def _stage_replace_bg(self, table: str, df: DataFrame, wave: int, futures: list):
+        """Stage a replace-mode carry snapshot on a background thread.
+        Unlike appends, an EMPTY replace must still commit (the carry
+        legitimately drains — e.g. pending at exhaustion); readers use
+        :meth:`_read_carry` with an explicit schema so a footer-less
+        empty snapshot round-trips."""
+
+        def job():
+            return self.store.stage_replace(table, df, wave), -1
+
+        futures.append(self._bg_pool().submit(job))
+
+    def _read_carry(self, table: str, schema: str) -> DataFrame:
+        paths = self.store.read_manifest()["tables"].get(table, [])
+        if not paths:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*paths)
 
     def _set_specs(self, specs: list[SiteSpec]) -> None:
         """Install (or replace, between re-crawl cycles) the site specs
@@ -423,6 +489,40 @@ class CrawlEngine:
                 )
         df = self.spark.createDataFrame(rows, FRONTIER_SCHEMA)
         staged = [self.store.stage_append("frontier", df, wave)]
+        # carry tables: seeds are the initial pending worklist and (all
+        # being non-leaf index pages) the initial unresolved occurrences;
+        # a fresh cycle resets all three carries.
+        pend: dict[str, tuple] = {}
+        for r in rows:
+            key, url, abs_url, host, site, tt, depth = r[0], r[1], r[2], r[3], r[4], r[5], r[6]
+            old = pend.get(abs_url)
+            if old is None or key < old[6]:
+                pend[abs_url] = (abs_url, site, host, url, tt, depth, key, 0)
+        staged.append(
+            self.store.stage_replace(
+                "pending",
+                self.spark.createDataFrame(list(pend.values()), PENDING_SCHEMA),
+                wave,
+            )
+        )
+        unres = [
+            (r[0], r[2], r[4], r[3], r[1], r[5], r[6], None, None, False, False, 0, None)
+            for r in rows
+        ]
+        staged.append(
+            self.store.stage_replace(
+                "unresolved",
+                self.spark.createDataFrame(unres, UNRESOLVED_SCHEMA),
+                wave,
+            )
+        )
+        staged.append(
+            self.store.stage_replace(
+                "leaf_unsaved",
+                self.spark.createDataFrame([], LEAF_UNSAVED_SCHEMA),
+                wave,
+            )
+        )
         self.store.commit_wave(wave, staged, {"seeds": len(rows), "cycle": cycle})
 
     # ---------------- predicates ----------------
@@ -495,112 +595,45 @@ class CrawlEngine:
                 df.unpersist()
 
     def _wave_body(self, wave: int, persisted: list[DataFrame]) -> bool:
-        # frontier is consulted by ~5 independent jobs per wave (work
-        # list, resolution, expansion, leaf join) — cache it once per
-        # wave instead of re-scanning the snapshot log each time.
-        Fr = self.frontier(True).persist()
-        persisted.append(Fr)
-        log = self.fetch_log(True)
-        R = self.resolved(True)
-        us = self._url_state(self.visits(True))
+        """One BSP wave, O(|pending| + |wave|) — never O(state).
+
+        Foreground (the critical path) is exactly TWO write jobs:
+
+          J1  politeness-selected fetch over the ``pending`` carry →
+              fetch_log append;
+          J2  resolution + LIFO fan-out over the ``unresolved`` carry →
+              frontier append (kids).
+
+        Everything else — metrics, bloom delta, resolved log, documents
+        deltas, and the three carry-table updates — runs on background
+        threads and is gathered before the manifest commit. History logs
+        are touched only by (a) the kid URL-seen probe (bloom-pruned to
+        the maybe-side when ``bloom_seen``; a slim full-log aggregate
+        otherwise) and (b) broadcast-filtered lookups for the rare
+        late-resolution rows (dup occurrences of already-fetched URLs).
+        """
         dim = F.broadcast(self.site_dim)
-        # documents from PREVIOUS cycles: the cross-cycle exists_song /
-        # number_of_songs state (stable throughout a cycle). None in
-        # cycle 0 — every cross-cycle operator is statically elided.
-        doc_log = self.store.read("documents") if self.cycle > 0 else None
-        prev_docs = (
-            doc_log.where(F.col("cycle") < self.cycle) if doc_log is not None else None
-        )
-
-        # distinct-URL work list (all occurrence fields per URL are equal
-        # except depth/dfs_key, aggregated min)
-        urls_base = (
-            Fr.groupBy("abs_url")
-            .agg(
-                F.first("site").alias("site"),
-                F.first("host").alias("host"),
-                F.first("url").alias("url"),
-                F.first("task_type").alias("task_type"),
-                F.min("depth").alias("depth"),
-                F.min("dfs_key").alias("min_key"),
-            )
-            .join(dim, "site")
-        )
-        if self.bloom_seen:
-            # partitioned bloom pre-filter (D1 scale path): definite
-            # bloom misses are provably unfetched — they skip the exact
-            # settlement join; only maybe-hits pay it. fp resolved
-            # exactly, so `urls` is value-identical to the plain join.
-            from lyrics_crawler_spark.operators.urlseen import (
-                BLOOM_SCHEMA, seen_split,
-            )
-
-            bloom = self._read("url_bloom", BLOOM_SCHEMA)
-            hashed = urls_base.withColumn("url_hash", F.xxhash64("abs_url"))
-            new_side, maybe_side = seen_split(
-                hashed, bloom, **self._bloom_params
-            )
-            urls = (
-                new_side.withColumn("has_ok", F.lit(False))
-                .withColumn("n_fail", F.lit(0).cast("bigint"))
-                .unionByName(
-                    maybe_side.join(us, "abs_url", "left")
-                    .withColumn("has_ok", F.coalesce("has_ok", F.lit(False)))
-                    .withColumn("n_fail", F.coalesce("n_fail", F.lit(0)))
-                )
-                .drop("url_hash")
-            )
-        else:
-            urls = (
-                urls_base.join(us, "abs_url", "left")
-                .withColumn("has_ok", F.coalesce("has_ok", F.lit(False)))
-                .withColumn("n_fail", F.coalesce("n_fail", F.lit(0)))
-            )
-        pending = urls.where(
-            ~F.col("has_ok") & (F.col("n_fail") < F.col("max_err"))
-        )
-        if prev_docs is not None:
-            # cross-cycle exists_song (base_crawler.py:195-202, :442-449):
-            # a Type0/1 song saved in an earlier cycle is skipped without
-            # a fetch. Within a cycle the settlement join already covers
-            # it; Type2 leaves always re-fetch (D4).
-            prev_keys = prev_docs.select(
-                F.col("start_url").alias("site"), F.col("song_url").alias("url")
-            ).distinct()
-            is_leaf01 = self._leaf(
-                F.col("topology"), F.col("task_type")
-            ) & F.col("topology").isin(0, 1)
-            pending = pending.where(~is_leaf01).unionByName(
-                pending.where(is_leaf01).join(prev_keys, ["site", "url"], "left_anti")
-            )
-
-        # unresolved non-leaf occurrences over already-fetched URLs
-        occ_dim = Fr.join(dim, "site")
-        # NB: DFS keys are only unique *within* a site (every site's first
-        # seed is 00000000) — all resolution joins key on (dfs_key, abs_url).
-        unresolved = (
-            occ_dim.where(self._nonleaf(F.col("topology"), F.col("task_type")))
-            .join(R.select("dfs_key", "abs_url"), ["dfs_key", "abs_url"], "left_anti")
-            .join(us.where("has_ok").select("abs_url"), "abs_url", "left_semi")
-        )
-
         staged: list[dict] = []
+        bg: list = []
         t0 = time.time()
         _t = time.time()
 
-        # ---- fetch selection + fetch, all inside ONE write job: the
-        # staged snapshot's footer count doubles as the pending probe ----
+        # -------- J1: fetch selection + fetch, ONE foreground job --------
+        # `pending` IS the frontier worklist (north rule: "a partitioned
+        # frontier table drives per-host politeness-bucketed fetch
+        # waves"): one pre-aggregated row per live URL.
+        pending = self._read_carry("pending", PENDING_SCHEMA)
+        pend_dim = pending.join(dim, "site")
         # per-site minimum pending depth: a window partitioned by `site`
         # would funnel every pending row of a site through ONE task (site
         # cardinality is tiny) — use a map-side-combinable groupBy and
         # broadcast the per-site minima back instead (scales linearly).
-        site_min = pending.groupBy("site").agg(
+        site_min = pend_dim.groupBy("site").agg(
             F.min("depth").alias("site_min_depth")
         )
-        at_depth = pending.join(F.broadcast(site_min), "site").where(
+        at_depth = pend_dim.join(F.broadcast(site_min), "site").where(
             F.col("depth") == F.col("site_min_depth")
         )
-
         # politeness: per-host budget top-k by DFS key; uncapped hosts
         # bypass the window entirely (no shuffle for them). When no site
         # has a budget at all, the whole branch is statically elided.
@@ -620,7 +653,6 @@ class CrawlEngine:
             "site", "abs_url", "url", "task_type", "host", "delay_s",
             F.col("n_fail").cast("int").alias("attempt"),
         )
-
         # fetch+parse: repartition by URL hash = domain-salted spread.
         # host/delay_s ride through the Arrow stage (echoed per row), so
         # no join-back against the wave input is needed afterwards.
@@ -644,10 +676,8 @@ class CrawlEngine:
             new_log = None
         _t = _tick('fetch+stage', _t)
 
-        # side writes that depend only on this wave's fetch-log file run
-        # on background threads, off the wave's critical path; their
-        # manifest entries are gathered before commit.
-        bg: list = []
+        # side writes depending only on this wave's fetch-log file run on
+        # background threads, off the wave's critical path.
         if new_log is not None:
             snapshot_id = staged[-1]["path"]
             # per-wave, per-host, per-partition lineage metrics (O4)
@@ -666,9 +696,9 @@ class CrawlEngine:
             self._stage_append_bg("metrics", met, wave, bg)
             if self.bloom_seen:
                 # bloom delta for every URL attempted this wave (ok and
-                # failed — mirrors _url_state, which counts both). One
-                # bitset row per touched partition; merged by OR at
-                # probe time, so this too is an append-only log.
+                # failed — the probe must prove *attempted-ness*, not
+                # success). One bitset row per touched partition, merged
+                # by OR at probe time — an append-only log like the rest.
                 from lyrics_crawler_spark.operators.urlseen import bloom_build
 
                 delta_bits = bloom_build(
@@ -678,106 +708,105 @@ class CrawlEngine:
                 self._stage_append_bg("url_bloom", delta_bits, wave, bg)
             _t = _tick('metrics-submit', _t)
 
-        # parsed view + settled URL state each feed 2-3 jobs this wave;
-        # cache both (they are groupBy/projection of the full fetch log —
-        # the single most re-scanned input).
-        P_all = self.parsed_view(
-            log if new_log is None else log.unionByName(new_log)
-        ).persist()
-        persisted.append(P_all)
-
-        # -------- resolution pass (F2 dispatch + D2 movie skip) --------
-        # resolution sees THIS wave's fetches too (same-wave expand — no
-        # dead resolution-only waves between depths)
-        if new_log is not None:
-            us_all = self._url_state(
-                self.visits(True).unionByName(
-                    new_log.select("abs_url", "wave", "attempt", "ok", "cycle")
-                )
-            ).persist()
-            persisted.append(us_all)
-            unresolved = (
-                occ_dim.where(self._nonleaf(F.col("topology"), F.col("task_type")))
-                .join(
-                    R.select("dfs_key", "abs_url"), ["dfs_key", "abs_url"], "left_anti"
-                )
-                .join(us_all.where("has_ok").select("abs_url"), "abs_url", "left_semi")
-            )
-        else:
-            us_all = us
-        jo = unresolved.join(P_all.select("abs_url", "children"), "abs_url")
-        res_others = jo.where(
-            ~((F.col("topology") == 0) & (F.col("task_type") == 1))
-        ).select("dfs_key", "abs_url", F.lit("expanded").alias("action"))
-
-        movies = jo.where((F.col("topology") == 0) & (F.col("task_type") == 1))
-        expander = (
-            occ_dim.where((F.col("topology") == 0) & (F.col("task_type") == 1))
-            .groupBy("abs_url")
-            .agg(F.min("dfs_key").alias("expander_key"))
+        # cross-cycle documents state (exists_song / number_of_songs,
+        # db_operations.py:195-229) — None in cycle 0, where every
+        # cross-cycle operator below is statically elided.
+        doc_log = self.store.read("documents") if self.cycle > 0 else None
+        prev_docs = (
+            doc_log.where(F.col("cycle") < self.cycle) if doc_log is not None else None
         )
-        # number_of_songs(start_url, movie_url) over PREVIOUS cycles
-        # (db_operations.py:196-211) — zero in cycle 0 (no join at all).
-        # Within a cycle the count is stable until the movie expands
-        # (its own songs are only saved after its pop; Type0 songs are
-        # movie-unique), so the reference's pop-time count check is
-        # reproducible relationally.
-        if prev_docs is not None:
-            n_prev_df = (
-                prev_docs.where(F.col("topology") == 0)
-                .groupBy(
-                    F.col("start_url").alias("site"),
-                    F.col("movie_url").alias("url"),
+        prev_keys = (
+            prev_docs.select(
+                F.col("start_url").alias("site"), F.col("song_url").alias("url")
+            ).distinct()
+            if prev_docs is not None
+            else None
+        )
+
+        # -------- J2: resolution + fan-out, ONE foreground job --------
+        # NB: DFS keys are only unique *within* a site (every site's first
+        # seed is 00000000) — all resolution joins key on (dfs_key, abs_url).
+        unresolved = self._read_carry("unresolved", UNRESOLVED_SCHEMA)
+        U = unresolved.join(dim, "site")
+        if new_log is not None:
+            # flip url_ok for occurrences whose URL parsed THIS wave
+            # (same-wave expand) and attach their children.
+            new_parses = self.parsed_view(new_log).select(
+                "abs_url", F.col("children").alias("new_children")
+            )
+            U = (
+                U.join(new_parses, "abs_url", "left")
+                .withColumn(
+                    "url_ok", F.col("url_ok") | F.col("new_children").isNotNull()
                 )
-                .agg(F.countDistinct("song_url").alias("n_prev"))
+                .withColumn("children", F.coalesce("children", "new_children"))
+                .drop("new_children")
             )
-            movies = movies.join(n_prev_df, ["site", "url"], "left").withColumn(
-                "n_prev", F.coalesce("n_prev", F.lit(0))
-            )
-        else:
-            movies = movies.withColumn("n_prev", F.lit(0).cast("bigint"))
-        mv = (
-            movies.join(expander, "abs_url")
+        live = U.where("url_ok")
+        is_movie = (F.col("topology") == 0) & (F.col("task_type") == 1)
+        res_cols = [
+            "dfs_key", "abs_url", "site", "host", "url", "task_type",
+            "depth", "movie", "artist", "topology", "children", "action",
+        ]
+        # every live non-movie occurrence expands (F2 dispatch)
+        res_others = live.where(~is_movie).withColumn(
+            "action", F.lit("expanded")
+        )
+
+        # D2 movie machinery. The expander (is_exp, marked at insert) and
+        # any occurrence whose count check already decides (empty movie,
+        # cycle-2 no-new mass skip) resolve immediately at pop time
+        # (base_crawler.py:158-172); other dup occurrences defer until
+        # every distinct child is settled, then apply the same count
+        # equality: number_of_songs = n_prev + newly-saved children.
+        movies = (
+            live.where(is_movie)
             .withColumn("L", F.size("children"))
             .withColumn(
                 "n_distinct",
                 F.size(F.array_distinct(F.transform("children", lambda c: c["url"]))),
             )
         )
-        # first occurrence (expander): the count check runs at pop time,
-        # nothing to wait for — skip iff number_of_songs == len(children)
-        # (base_crawler.py:158-172). Covers empty movies (0 == 0) and the
-        # cycle-2 no-new-songs mass skip (n_prev == L). Dup occurrences
-        # with an empty child list decide immediately by the same rule.
-        is_exp = F.col("dfs_key") == F.col("expander_key")
-        # a dup occurrence whose count ALREADY matches (n_prev == L, e.g.
-        # the cycle-2 mass-skip where the expander also skipped and
-        # enqueued nothing) decides immediately too — page content is a
-        # pure function of URL within a cycle, so its L equals the
-        # expander's, and a skipping expander leaves the count unchanged.
-        res_immediate = mv.where(
-            is_exp | (F.col("L") == 0) | (F.col("n_prev") == F.col("L"))
-        ).select(
-            "dfs_key", "abs_url",
-            F.when(F.col("n_prev") == F.col("L"), F.lit("skipped_no_new"))
-            .otherwise(F.lit("expanded"))
-            .alias("action"),
+        res_imm = movies.where(
+            F.col("is_exp") | (F.col("L") == 0) | (F.col("n_prev") == F.col("L"))
+        ).withColumn(
+            "action",
+            F.when(F.col("n_prev") == F.col("L"), F.lit("skipped_no_new")).otherwise(
+                F.lit("expanded")
+            ),
         )
-
-        # duplicate-movie occurrences pop AFTER the expander's whole
-        # subtree (LIFO): defer until every distinct child is settled —
-        # saved in a previous cycle, fetched-ok this cycle (⟹ saved), or
-        # dead this cycle — then apply the same count equality:
-        # number_of_songs = n_prev + newly-saved children.
-        dup_movies = mv.where(
-            ~is_exp & (F.col("L") > 0) & (F.col("n_prev") != F.col("L"))
+        defer_check = movies.where(
+            ~F.col("is_exp") & (F.col("L") > 0) & (F.col("n_prev") != F.col("L"))
         )
-        song_urls = dup_movies.select(
+        song_urls = defer_check.select(
             "dfs_key", "abs_url", "site", "max_err", "L", "n_prev",
             F.explode(
                 F.array_distinct(F.transform("children", lambda c: c["url"]))
             ).alias("child_url"),
         ).withColumn("child_abs", F.concat(F.col("site"), F.col("child_url")))
+        # child settlement probe: slim (abs_url, ok) scan of the cycle's
+        # attempt log, pre-filtered by the (small) deferred child set via
+        # a broadcast semi-join — the log is never shuffled. AQE's
+        # empty-relation propagation skips the scan entirely on waves
+        # with no deferred dups.
+        attempts = self.visits(True).select("abs_url", "ok")
+        if new_log is not None:
+            attempts = attempts.unionByName(new_log.select("abs_url", "ok"))
+        child_keys = song_urls.select(F.col("child_abs").alias("abs_url")).distinct()
+        cs = (
+            attempts.join(F.broadcast(child_keys), "abs_url", "left_semi")
+            .groupBy("abs_url")
+            .agg(
+                F.max("ok").alias("s_has_ok"),
+                F.sum(F.when(~F.col("ok"), 1).otherwise(0)).alias("s_n_fail"),
+            )
+            .withColumnRenamed("abs_url", "child_abs")
+        )
+        song_state = (
+            song_urls.join(cs, "child_abs", "left")
+            .withColumn("s_has_ok", F.coalesce("s_has_ok", F.lit(False)))
+            .withColumn("s_n_fail", F.coalesce("s_n_fail", F.lit(0)))
+        )
         if prev_docs is not None:
             child_prev = (
                 prev_docs.select(
@@ -787,29 +816,17 @@ class CrawlEngine:
                 .distinct()
                 .withColumn("prev_doc", F.lit(True))
             )
-            song_urls = song_urls.join(
+            song_state = song_state.join(
                 child_prev, ["site", "child_url"], "left"
             ).withColumn("prev_doc", F.coalesce("prev_doc", F.lit(False)))
         else:
-            song_urls = song_urls.withColumn("prev_doc", F.lit(False))
-        song_state = (
-            song_urls.join(
-                us_all.withColumnRenamed("abs_url", "child_abs")
-                .withColumnRenamed("has_ok", "s_has_ok")
-                .withColumnRenamed("n_fail", "s_n_fail"),
-                "child_abs",
-                "left",
-            )
-            .withColumn("s_has_ok", F.coalesce("s_has_ok", F.lit(False)))
-            .withColumn("s_n_fail", F.coalesce("s_n_fail", F.lit(0)))
-            .withColumn(
-                "settled",
-                F.col("prev_doc")
-                | F.col("s_has_ok")
-                | (F.col("s_n_fail") >= F.col("max_err")),
-            )
-            .withColumn("newly_saved", F.col("s_has_ok") & ~F.col("prev_doc"))
-        )
+            song_state = song_state.withColumn("prev_doc", F.lit(False))
+        song_state = song_state.withColumn(
+            "settled",
+            F.col("prev_doc")
+            | F.col("s_has_ok")
+            | (F.col("s_n_fail") >= F.col("max_err")),
+        ).withColumn("newly_saved", F.col("s_has_ok") & ~F.col("prev_doc"))
         dup_decided = (
             song_state.groupBy("dfs_key", "abs_url", "L", "n_prev")
             .agg(
@@ -826,45 +843,49 @@ class CrawlEngine:
             )
             .select("dfs_key", "abs_url", "action")
         )
-
-        new_resolved = (
-            res_others.unionByName(res_immediate)
-            .unionByName(dup_decided)
-            .withColumn("wave", F.lit(wave))
-            .withColumn("cycle", F.lit(self.cycle))
+        dup_full = defer_check.drop("action").join(
+            dup_decided, ["dfs_key", "abs_url"]
+        )
+        res = (
+            res_others.select(*res_cols)
+            .unionByName(res_imm.select(*res_cols))
+            .unionByName(dup_full.select(*res_cols))
             .persist()
         )
-        persisted.append(new_resolved)
+        persisted.append(res)
         # the resolved-log write rides a background thread; the kids job
-        # below consumes the same cached resolution (whichever job runs a
-        # partition first materializes it — block locks dedup the work),
-        # so resolve+fan-out is ONE foreground job, not two.
-        self._stage_append_bg("resolved", new_resolved, wave, bg)
+        # below consumes the same cached resolution.
+        self._stage_append_bg(
+            "resolved",
+            res.select(
+                "dfs_key", "abs_url", "action",
+                F.lit(wave).alias("wave"), F.lit(self.cycle).alias("cycle"),
+            ),
+            wave,
+            bg,
+        )
         f_resolved = bg[-1]
         _t = _tick('resolution-submit', _t)
 
         # -------- children fan-out (X1–X6 + robots + LIFO rank keys) ----
-        exp = (
-            new_resolved.where(F.col("action") == "expanded")
-            .select("dfs_key", "abs_url")
-            .join(Fr, ["dfs_key", "abs_url"])
-            .join(dim, "site")
-            .join(P_all.select("abs_url", "children"), "abs_url")
-        )
-        kids_raw = exp.select(
-            F.col("dfs_key").alias("parent_key"),
-            F.col("url").alias("parent_url"),
-            "site", "host", "topology", "depth",
-            F.col("movie").alias("p_movie"),
-            F.col("artist").alias("p_artist"),
-            F.posexplode("children").alias("pos", "child"),
-        ).select(
-            "parent_key", "parent_url", "site", "host", "topology", "depth", "pos",
-            "p_movie", "p_artist",
-            F.col("child.url").alias("c_url"),
-            F.col("child.label").alias("c_label"),
-            F.col("child.child_type").alias("c_type"),
-            F.col("child.album").alias("c_album"),
+        kids_raw = (
+            res.where(F.col("action") == "expanded")
+            .select(
+                F.col("dfs_key").alias("parent_key"),
+                F.col("url").alias("parent_url"),
+                "site", "host", "topology", "depth",
+                F.col("movie").alias("p_movie"),
+                F.col("artist").alias("p_artist"),
+                F.posexplode("children").alias("pos", "child"),
+            )
+            .select(
+                "parent_key", "parent_url", "site", "host", "topology", "depth",
+                "pos", "p_movie", "p_artist",
+                F.col("child.url").alias("c_url"),
+                F.col("child.label").alias("c_label"),
+                F.col("child.child_type").alias("c_type"),
+                F.col("child.album").alias("c_album"),
+            )
         )
         kids_abs = kids_raw.withColumn(
             "c_abs",
@@ -928,51 +949,330 @@ class CrawlEngine:
             # nothing progressed this wave (n_kids is necessarily 0 —
             # kids explode out of expanded resolutions): either the crawl
             # is done, or the engine is stuck (a bug). Join the side
-            # writes (all empty) and decide with one final count.
+            # writes (all empty) and decide with one final count: only
+            # undecidable deferred occurrences (url_ok rows) indicate a
+            # stuck engine; url_ok=false rows of dead URLs are expected
+            # residue (their occurrences never resolve — trace marks them
+            # dead).
             for f in bg:
                 f.result()
-            if unresolved.count() == 0:
+            if unresolved.where("url_ok").count() == 0:
                 return False
             raise RuntimeError(
                 "wave made no progress: nothing pending and nothing resolvable"
             )
 
-        # -------- documents MERGE (O1) — two background deltas --------
-        # delta = leaf occurrences saved exactly once: old occurrences
-        # whose URL was parsed THIS wave ∪ occurrences enqueued this wave
-        # whose URL is parsed (covers late dup-movie expansions). The two
-        # parts are disjoint (old vs enqueued-this-wave), so they commit
-        # as two merge-on-read deltas; neither is on the critical path.
-        leaf_old = Fr.join(dim, "site").where(
-            self._leaf(F.col("topology"), F.col("task_type"))
-        )
-        # the parse wave rides along as `fetched_at` (O2: the virtual
-        # clock of the page fetch that produced this document's content).
-        if new_log is not None:
-            self._merge_documents(
-                leaf_old.join(
-                    self.parsed_view(new_log)
-                    .drop("children", "bytes")
-                    .withColumnRenamed("wave", "fetched_at"),
-                    "abs_url",
-                ),
-                wave,
-                bg,
-            )
+        # ---- kid URL-seen probe (D1): per distinct kid URL, has it been
+        # attempted before (ok / failing / dead)? Feeds the three carry
+        # updates and the documents late path; all consumers are
+        # background writes. bloom_seen prunes the committed-log scan to
+        # the maybe-seen side (false positives resolved exactly); the
+        # fallback is one slim full-log aggregate.
         if n_kids > 0:
+            kid_urls = new_kids.groupBy("abs_url").agg(
+                F.first("site").alias("site"),
+                F.first("host").alias("host"),
+                F.first("url").alias("url"),
+                F.first("task_type").alias("task_type"),
+                F.min("depth").alias("depth"),
+                F.min("dfs_key").alias("min_key"),
+            )
+            hist_attempts = self.visits(True).select("abs_url", "ok")
+            if self.bloom_seen:
+                from lyrics_crawler_spark.operators.urlseen import (
+                    BLOOM_SCHEMA, seen_split,
+                )
+
+                bloom = self._read("url_bloom", BLOOM_SCHEMA)
+                hashed = kid_urls.withColumn("url_hash", F.xxhash64("abs_url"))
+                _new_side, maybe_side = seen_split(hashed, bloom, **self._bloom_params)
+                # definite bloom misses provably have no committed
+                # attempts — only the maybe side pays the history scan.
+                hist_attempts = hist_attempts.join(
+                    F.broadcast(maybe_side.select("abs_url")), "abs_url", "left_semi"
+                )
+            if new_log is not None:
+                # this wave's outcomes are not yet committed (nor in the
+                # bloom): always union them in.
+                hist_attempts = hist_attempts.unionByName(
+                    new_log.select("abs_url", "ok")
+                )
+            kstate = hist_attempts.groupBy("abs_url").agg(
+                F.max("ok").alias("k_has_ok"),
+                F.sum(F.when(~F.col("ok"), 1).otherwise(0)).alias("k_n_fail"),
+            )
+            kids_checked = (
+                kid_urls.join(kstate, "abs_url", "left")
+                .withColumn("k_has_ok", F.coalesce("k_has_ok", F.lit(False)))
+                .withColumn("k_n_fail", F.coalesce("k_n_fail", F.lit(0)))
+                .persist()
+            )
+            persisted.append(kids_checked)
+        else:
+            kids_checked = None
+
+        # ---- pending' (background): one groupBy over the union of the
+        # old worklist, this wave's outcomes, and the seen-checked kids.
+        old_side = pending.select(
+            "abs_url", "site", "host", "url", "task_type", "depth", "min_key",
+            "n_fail", F.lit(False).alias("has_ok"), F.lit(0).alias("fail_delta"),
+        )
+        sides = [old_side]
+        if new_log is not None:
+            sides.append(
+                new_log.select(
+                    "abs_url",
+                    F.lit(None).cast("string").alias("site"),
+                    "host",
+                    F.lit(None).cast("string").alias("url"),
+                    F.lit(None).cast("int").alias("task_type"),
+                    F.lit(None).cast("int").alias("depth"),
+                    F.lit(None).cast("string").alias("min_key"),
+                    F.lit(None).cast("long").alias("n_fail"),
+                    F.col("ok").alias("has_ok"),
+                    F.when(~F.col("ok"), F.lit(1)).otherwise(F.lit(0)).alias(
+                        "fail_delta"
+                    ),
+                )
+            )
+        if kids_checked is not None:
+            kid_side = kids_checked
+            if prev_keys is not None:
+                # cross-cycle exists_song (base_crawler.py:195-202,
+                # :442-449): a Type0/1 song saved in an earlier cycle is
+                # skipped without a fetch; Type2 leaves always re-fetch (D4).
+                kd = kid_side.join(dim.select("site", "topology"), "site")
+                is_leaf01 = self._leaf(
+                    F.col("topology"), F.col("task_type")
+                ) & F.col("topology").isin(0, 1)
+                kid_side = (
+                    kd.where(~is_leaf01)
+                    .unionByName(
+                        kd.where(is_leaf01).join(
+                            prev_keys, ["site", "url"], "left_anti"
+                        )
+                    )
+                    .drop("topology")
+                )
+            sides.append(
+                kid_side.select(
+                    "abs_url", "site", "host", "url", "task_type", "depth",
+                    "min_key", F.col("k_n_fail").alias("n_fail"),
+                    F.col("k_has_ok").alias("has_ok"), F.lit(0).alias("fail_delta"),
+                )
+            )
+        allsides = sides[0]
+        for s in sides[1:]:
+            allsides = allsides.unionByName(s)
+        merged = (
+            allsides.groupBy("abs_url")
+            .agg(
+                F.max("has_ok").alias("has_ok_any"),
+                F.max("n_fail").alias("n_fail0"),
+                F.sum("fail_delta").alias("dfail"),
+                F.first("site", ignorenulls=True).alias("site"),
+                F.first("host", ignorenulls=True).alias("host"),
+                F.first("url", ignorenulls=True).alias("url"),
+                F.first("task_type", ignorenulls=True).alias("task_type"),
+                F.min("depth").alias("depth"),
+                F.min("min_key").alias("min_key"),
+            )
+            .withColumn("n_fail", F.coalesce("n_fail0", F.lit(0)) + F.col("dfail"))
+            .join(dim.select("site", "max_err"), "site")
+            .persist()
+        )
+        persisted.append(merged)
+        self._stage_replace_bg(
+            "pending",
+            merged.where(
+                ~F.col("has_ok_any") & (F.col("n_fail") < F.col("max_err"))
+            ).select(
+                "abs_url", "site", "host", "url", "task_type", "depth",
+                "min_key", "n_fail",
+            ),
+            wave,
+            bg,
+        )
+        # URLs whose error budget exhausted THIS wave: purge their
+        # occurrences from the unresolved / leaf_unsaved carries (they
+        # can never resolve or save; trace derives their dead actions
+        # from the logs alone).
+        newly_dead = merged.where(
+            (F.col("dfail") > 0)
+            & ~F.col("has_ok_any")
+            & (F.col("n_fail") >= F.col("max_err"))
+        ).select("abs_url")
+
+        # ---- unresolved' (background) ----
+        undecided = defer_check.join(
+            dup_decided.select("dfs_key", "abs_url"), ["dfs_key", "abs_url"],
+            "left_anti",
+        )
+        unres_cols = [
+            "dfs_key", "abs_url", "site", "host", "url", "task_type", "depth",
+            "movie", "artist", "is_exp", "url_ok", "n_prev", "children",
+        ]
+        unres_parts = [
+            U.where(~F.col("url_ok"))
+            .join(newly_dead, "abs_url", "left_anti")
+            .select(*unres_cols),
+            undecided.select(*unres_cols),
+        ]
+        if kids_checked is not None:
+            kn = (
+                new_kids.join(dim, "site")
+                .where(self._nonleaf(F.col("topology"), F.col("task_type")))
+                .join(
+                    kids_checked.select("abs_url", "k_has_ok", "k_n_fail"),
+                    "abs_url",
+                )
+                # dead-URL occurrences never resolve — don't insert them
+                .where(F.col("k_has_ok") | (F.col("k_n_fail") < F.col("max_err")))
+            )
+            # expander marking (D2): the occurrence the sequential
+            # reference pops first = min dfs_key of the URL's FIRST batch
+            # (a URL with any prior attempt or an existing unresolved
+            # occurrence is not fresh — its expander already exists).
+            kid_is_movie = (F.col("topology") == 0) & (F.col("task_type") == 1)
+            batch_min = (
+                kn.where(kid_is_movie)
+                .groupBy("abs_url")
+                .agg(F.min("dfs_key").alias("batch_min"))
+            )
+            known_movies = U.where(is_movie).select("abs_url").distinct()
+            kn = (
+                kn.join(F.broadcast(batch_min), "abs_url", "left")
+                .join(
+                    known_movies.withColumn("known", F.lit(True)),
+                    "abs_url",
+                    "left",
+                )
+                .withColumn(
+                    "is_exp",
+                    kid_is_movie
+                    & (F.col("dfs_key") == F.col("batch_min"))
+                    & ~F.col("k_has_ok")
+                    & (F.col("k_n_fail") == 0)
+                    & F.col("known").isNull(),
+                )
+            )
+            # dup occurrences of already-fetched URLs arrive resolvable:
+            # attach their children from page history now (rare rows —
+            # broadcast-filtered lookup, the log is never shuffled).
+            parse_hist = self.parsed_view(self.fetch_log(True)).select(
+                "abs_url", "children"
+            )
+            if new_log is not None:
+                parse_hist = parse_hist.unionByName(
+                    self.parsed_view(new_log).select("abs_url", "children")
+                )
+            ok_urls = kn.where("k_has_ok").select("abs_url").distinct()
+            kid_children = parse_hist.join(
+                F.broadcast(ok_urls), "abs_url", "left_semi"
+            )
+            kn = kn.join(kid_children, "abs_url", "left").withColumn(
+                "url_ok", F.col("k_has_ok")
+            )
+            if prev_docs is not None:
+                # number_of_songs(start_url, movie_url) over previous
+                # cycles (db_operations.py:196-211), attached at insert —
+                # stable within a cycle.
+                n_prev_df = (
+                    prev_docs.where(F.col("topology") == 0)
+                    .groupBy(
+                        F.col("start_url").alias("site"),
+                        F.col("movie_url").alias("url"),
+                    )
+                    .agg(F.countDistinct("song_url").alias("n_prev"))
+                )
+                kn = kn.join(n_prev_df, ["site", "url"], "left").withColumn(
+                    "n_prev", F.coalesce("n_prev", F.lit(0))
+                )
+            else:
+                kn = kn.withColumn("n_prev", F.lit(0).cast("bigint"))
+            unres_parts.append(kn.select(*unres_cols))
+        unres_next = unres_parts[0]
+        for p in unres_parts[1:]:
+            unres_next = unres_next.unionByName(p)
+        self._stage_replace_bg("unresolved", unres_next, wave, bg)
+
+        # ---- documents MERGE (O1) + leaf_unsaved' (background) ----
+        # delta = leaf occurrences saved exactly once: waiting occurrences
+        # whose URL parsed THIS wave ∪ leaf kids enqueued this wave whose
+        # URL is already parsed (late dup expansions). The parse wave
+        # rides along as `fetched_at` (O2 virtual clock).
+        lu = self._read_carry("leaf_unsaved", LEAF_UNSAVED_SCHEMA)
+        lu_parts = []
+        if new_log is not None:
+            new_details = (
+                self.parsed_view(new_log)
+                .drop("children", "bytes")
+                .withColumnRenamed("wave", "fetched_at")
+            )
             self._merge_documents(
+                lu.join(dim, "site").join(new_details, "abs_url"), wave, bg
+            )
+            lu_parts.append(
+                lu.join(
+                    new_details.select("abs_url"), "abs_url", "left_anti"
+                ).join(newly_dead, "abs_url", "left_anti")
+            )
+        else:
+            lu_parts.append(lu.join(newly_dead, "abs_url", "left_anti"))
+        if kids_checked is not None:
+            kl = (
                 new_kids.join(dim, "site")
                 .where(self._leaf(F.col("topology"), F.col("task_type")))
                 .join(
-                    P_all.drop("children", "bytes").withColumnRenamed(
-                        "wave", "fetched_at"
-                    ),
+                    kids_checked.select("abs_url", "k_has_ok", "k_n_fail"),
                     "abs_url",
-                ),
-                wave,
-                bg,
+                )
             )
-        _t = _tick('docs-submit', _t)
+            if prev_keys is not None:
+                is_leaf01 = F.col("topology").isin(0, 1)
+                kl = kl.where(~is_leaf01).unionByName(
+                    kl.where(is_leaf01).join(prev_keys, ["site", "url"], "left_anti")
+                )
+            # late path: leaf kid of an already-parsed URL saves now with
+            # the historical parse (broadcast-filtered detail lookup)
+            late = kl.where("k_has_ok")
+            detail_hist = (
+                self.parsed_view(self.fetch_log(True))
+                .drop("children", "bytes")
+                .withColumnRenamed("wave", "fetched_at")
+            )
+            if new_log is not None:
+                detail_hist = detail_hist.unionByName(
+                    self.parsed_view(new_log)
+                    .drop("children", "bytes")
+                    .withColumnRenamed("wave", "fetched_at")
+                )
+            late_details = detail_hist.join(
+                F.broadcast(late.select("abs_url").distinct()),
+                "abs_url",
+                "left_semi",
+            )
+            self._merge_documents(late.join(late_details, "abs_url"), wave, bg)
+            lu_parts.append(
+                kl.where(~F.col("k_has_ok") & (F.col("k_n_fail") < F.col("max_err")))
+                .select(
+                    "dfs_key", "abs_url", "site", "host", "url", "task_type",
+                    "movie", "movie_url", "artist", "album", "album_url", "song",
+                )
+            )
+        lu_next = lu_parts[0].select(
+            "dfs_key", "abs_url", "site", "host", "url", "task_type",
+            "movie", "movie_url", "artist", "album", "album_url", "song",
+        )
+        for p in lu_parts[1:]:
+            lu_next = lu_next.unionByName(
+                p.select(
+                    "dfs_key", "abs_url", "site", "host", "url", "task_type",
+                    "movie", "movie_url", "artist", "album", "album_url", "song",
+                )
+            )
+        self._stage_replace_bg("leaf_unsaved", lu_next, wave, bg)
+        _t = _tick('carries-submit', _t)
 
         for f in bg:
             entry, _n = f.result()
