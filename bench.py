@@ -50,9 +50,13 @@ def crawl_specs(scale: float = 1.0, seed: int = 777, pad_kb: int = 16):
 def run_crawl_bench(spark, scale: float):
     from lyrics_crawler_spark.engine import CrawlEngine
 
+    # LCS_BENCH_BLOOM=1 runs the crawl with the partitioned bloom
+    # URL-seen probe on (the 10^10 design point); default keeps the
+    # exact-join fallback so both paths stay measured.
+    bloom = os.environ.get("LCS_BENCH_BLOOM", "") == "1"
     d = tempfile.mkdtemp(prefix="lcs_bench_")
     try:
-        eng = CrawlEngine(spark, crawl_specs(scale), d)
+        eng = CrawlEngine(spark, crawl_specs(scale), d, bloom_seen=bloom)
         t0 = time.time()
         eng.run(max_waves=60)
         sec = time.time() - t0

@@ -77,15 +77,23 @@ class SnapshotStore:
 
     # ---------------- writes (staged until commit_wave) ----------------
 
-    def stage_append(self, table: str, df: DataFrame, wave: int) -> dict:
-        """Write an immutable snapshot dir for ``table``; it becomes
-        visible only when commit_wave() publishes it in the manifest."""
+    def alloc_entry(self, table: str, wave: int, mode: str = "append") -> dict:
+        """Pre-allocate a snapshot path (so its id can be recorded as
+        lineage before the write runs, e.g. on a background thread)."""
         snap_id = (
             f"{wave:05d}-{int(time.time() * 1000) % 100000:05d}-{next(_SNAP_SEQ):04d}"
         )
         path = os.path.join(self.base_dir, table, f"snap-{snap_id}")
-        df.write.mode("overwrite").parquet(path)
-        return {"table": table, "path": path, "wave": wave, "mode": "append"}
+        return {"table": table, "path": path, "wave": wave, "mode": mode}
+
+    def write_entry(self, entry: dict, df: DataFrame) -> dict:
+        df.write.mode("overwrite").parquet(entry["path"])
+        return entry
+
+    def stage_append(self, table: str, df: DataFrame, wave: int) -> dict:
+        """Write an immutable snapshot dir for ``table``; it becomes
+        visible only when commit_wave() publishes it in the manifest."""
+        return self.write_entry(self.alloc_entry(table, wave), df)
 
     def stage_replace(self, table: str, df: DataFrame, wave: int) -> dict:
         """Full-replace snapshot (used by per-wave MERGE targets)."""

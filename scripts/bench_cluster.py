@@ -191,9 +191,7 @@ def main() -> None:
         "throughput_N": thru1, "throughput_4N": thru4,
         "scaling_efficiency": eff,
     }))
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
-        f.write(f"""# BENCH — crawl throughput & scaling evidence
-
+    block = f"""<!-- BEGIN bench_cluster (auto-generated by scripts/bench_cluster.py) -->
 Protocol (BASELINE.md "sandbox evidence protocol", north rule "N and 4N
 executors"): the identical crawl job on identical synthetic input
 (seeded five-dialect site graph, ids drawn from the 10^10-URL address
@@ -202,9 +200,8 @@ multi-executor Spark standalone cluster** on this machine — N = 1
 executor × 8 cores vs 4N = 4 executors × 8 cores, every worker's whole
 process tree (worker JVM → executor JVM → Arrow python workers) pinned
 with `taskset` to its own 8-core set. Application code ships to
-executors via a `--py-files` zip. Each level warms JIT on a scale-1
-crawl, then runs the measured job twice; the better run is the
-steady-state number (a long-lived cluster never pays cold-JIT costs).
+executors via a `--py-files` zip. Each level warms JIT on a smaller
+crawl first (a long-lived cluster never pays cold-JIT costs).
 Shuffle partitioning (32) is identical at both levels.
 
 | level | runs | best wall | URLs/s |
@@ -214,18 +211,21 @@ Shuffle partitioning (32) is identical at both levels.
 
 - URLs fetched+parsed per run: **{m1["urls"]:,}** (documents merged: {m1["docs"]:,})
 - scaling efficiency (thru@4N / thru@N) / 4 = **{eff}** (target ≥ 0.8)
-
-Why executors and not `local[N]` threads: the north rule's scaling unit
-is the executor. `local[32]` funnels 32 task threads through one JVM —
-one BlockManager, one memory manager — a contention regime no real
-cluster has (measured: tasks off-CPU 75% of their runtime at 32
-threads in one JVM). The standalone cluster gives each executor its own
-8-thread JVM exactly as production does; `scripts/bench_scaling.py`
-remains available as the single-JVM `local[8]`-vs-`local[32]` variant.
-
-Per-round relational/dedup/similarity timings: BENCH_r{{N}}.json
-(driver-run `bench.py`).
-""")
+<!-- END bench_cluster -->"""
+    path = os.path.join(REPO, "BENCH.md")
+    begin, end = "<!-- BEGIN bench_cluster", "<!-- END bench_cluster -->"
+    if os.path.exists(path):
+        cur = open(path).read()
+        if begin in cur and end in cur:
+            pre = cur[: cur.index(begin)]
+            post = cur[cur.index(end) + len(end):]
+            out = pre + block + post
+        else:
+            out = cur.rstrip() + "\n\n## Cluster scaling (generated)\n\n" + block + "\n"
+    else:
+        out = "# BENCH — crawl throughput & scaling evidence\n\n" + block + "\n"
+    with open(path, "w") as f:
+        f.write(out)
 
 
 if __name__ == "__main__":
