@@ -78,6 +78,20 @@ def main():
     crawl_scale = float(os.environ.get("LCS_BENCH_CRAWL_SCALE", "1.0"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
+    # bench hygiene (VERDICT r02): a loaded machine makes every number
+    # noise (r02's driver series was uniformly ~2x slower from a
+    # concurrent process, not code). Record the pre-run load in the JSON
+    # and stamp `dirty` when the 1-min loadavg says another heavy process
+    # owns cores; readers must discard dirty captures.
+    load_before = tuple(round(x, 2) for x in os.getloadavg())
+    dirty = load_before[0] > 2.0
+    if dirty:
+        print(
+            f"# WARNING: 1-min loadavg {load_before[0]} > 2 before start; "
+            "another process is using this machine — capture flagged dirty",
+            file=sys.stderr,
+        )
+
     from lyrics_crawler_spark.session import get_spark
 
     spark = get_spark("lcs-bench", master=f"local[{cpus}]")
@@ -118,6 +132,9 @@ def main():
         "sf": sf,
         "crawl": crawl,
         "cpus": cpus,
+        "loadavg_before": list(load_before),
+        "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+        "dirty": dirty,
     }
     print(json.dumps(out))
     spark.stop()

@@ -180,7 +180,10 @@ class CrawlEngine:
         # re-fetch them — breaking the golden trace. Record at store
         # birth; fail fast on mismatch at resume (ADVICE r01).
         bloom_cfg = (
-            {"bloom_seen": True, **self._bloom_params}
+            # "hash" versions the position derivation (round 3 moved to
+            # JVM-computable double hashing); a store built with older
+            # bitsets must not resume under the new probe.
+            {"bloom_seen": True, "hash": "xxh64-double-v3", **self._bloom_params}
             if bloom_seen
             else {"bloom_seen": False}
         )
@@ -698,15 +701,25 @@ class CrawlEngine:
             if self.bloom_seen:
                 # bloom delta for every URL attempted this wave (ok and
                 # failed — the probe must prove *attempted-ness*, not
-                # success). One bitset row per touched partition, merged
-                # by OR at probe time — an append-only log like the rest.
-                from lyrics_crawler_spark.operators.urlseen import bloom_build
+                # success), OR-merged with the committed bitsets into a
+                # replace-mode carry of ≤P rows (constant bytes per wave;
+                # OR is associative+idempotent so the merged snapshot
+                # reads identically to replaying every delta). Keeping it
+                # pre-merged is what lets the probe collect+broadcast P
+                # rows instead of O(waves × P) delta rows.
+                from lyrics_crawler_spark.operators.urlseen import (
+                    BLOOM_SCHEMA, bloom_build, bloom_merge,
+                )
 
                 delta_bits = bloom_build(
                     new_log.select(F.xxhash64("abs_url").alias("url_hash")),
                     **self._bloom_params,
                 )
-                self._stage_append_bg("url_bloom", delta_bits, wave, bg)
+                prev_bits = self._read_carry("url_bloom", BLOOM_SCHEMA)
+                self._stage_replace_bg(
+                    "url_bloom", bloom_merge(prev_bits.unionByName(delta_bits)),
+                    wave, bg,
+                )
             _t = _tick('metrics-submit', _t)
 
         # cross-cycle documents state (exists_song / number_of_songs,
@@ -984,7 +997,7 @@ class CrawlEngine:
                     BLOOM_SCHEMA, seen_split,
                 )
 
-                bloom = self._read("url_bloom", BLOOM_SCHEMA)
+                bloom = self._read_carry("url_bloom", BLOOM_SCHEMA)
                 hashed = kid_urls.withColumn("url_hash", F.xxhash64("abs_url"))
                 _new_side, maybe_side = seen_split(hashed, bloom, **self._bloom_params)
                 # definite bloom misses provably have no committed
@@ -1466,5 +1479,30 @@ class CrawlEngine:
             F.col("terminal_action").alias("action"),
         )
         allrows = err_rows.unionByName(term_rows)
-        wseq = Window.partitionBy("site").orderBy("cycle", "dfs_key", "n_errors")
-        return allrows.withColumn("seq", F.row_number().over(wseq))
+        # scale-safe per-site sequencing: Window.partitionBy("site") would
+        # funnel each site's ENTIRE trace through one task (site
+        # cardinality ~5 — a 10^8-row trace would OOM it). Instead:
+        # range-partition the global sort order, rank locally within each
+        # (range-slice, site) group — every group is bounded by the range
+        # partitioner's balanced split size — then add back the per-slice
+        # cumulative offsets (a tiny P×sites table, broadcast).
+        order = ["cycle", "dfs_key", "n_errors"]
+        parts = allrows.repartitionByRange("site", *order).withColumn(
+            "_pid", F.spark_partition_id()
+        )
+        wloc = Window.partitionBy("_pid", "site").orderBy(*order)
+        local = parts.withColumn("_rn", F.row_number().over(wloc))
+        counts = local.groupBy("_pid", "site").agg(F.count(F.lit(1)).alias("_cnt"))
+        woff = (
+            Window.partitionBy("site")
+            .orderBy("_pid")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offsets = counts.withColumn(
+            "_off", F.coalesce(F.sum("_cnt").over(woff), F.lit(0))
+        ).drop("_cnt")
+        return (
+            local.join(F.broadcast(offsets), ["_pid", "site"])
+            .withColumn("seq", (F.col("_rn") + F.col("_off")).cast("int"))
+            .drop("_pid", "_rn", "_off")
+        )

@@ -11,23 +11,36 @@ canonical URL that cheaply proves *definite non-membership*, so only the
 small maybe-seen remainder pays the exact join (bloom false positives
 are then resolved exactly — semantics never change).
 
-Design (all vectorized numpy inside Arrow batches — no per-row Python):
+Design:
 
 - **partitioning**: key space is split by ``pmod(url_hash, P)``; each
   partition owns an independent ``m``-bit bitset. At 10^10 URLs and
-  ~10 bits/key (k=4 → ~2% fp) the whole structure is ~12 GB — far too
-  big for one node, which is exactly why it is partitioned: bitset p
-  co-locates with candidate partition p via a cogrouped
-  ``applyInPandas``, so the probe shuffles candidates by ONE integer
-  key instead of joining two full tables on a string key.
+  ~10 bits/key (k=4 → ~2% fp) the whole structure is ~12 GB — too big
+  for one broadcast, which is why it is partitioned.
 - **build**: per wave, the newly fetched URLs produce *delta* bitsets
-  (one row per touched partition). Deltas are unioned with bitwise OR at
-  probe time — an associative, idempotent merge, so the bloom table is
-  an append-only log exactly like every other engine table (O(wave)
-  commit cost, crash-safe resume for free).
+  (one row per touched partition), vectorized numpy inside Arrow
+  batches. Deltas merge with bitwise OR — associative and idempotent —
+  so both an append-only delta log and a per-wave merged snapshot
+  (:func:`bloom_merge`, what the engine keeps) read identically.
+- **probe — JVM path (default)**: the merged bitsets are tiny at any
+  sandbox-reachable scale (P × m/8 bytes = 4 MB at defaults), so the
+  probe collects them once, re-exposes them as a broadcast
+  ``(part, words array<long>)`` dimension, and tests the k bits with
+  pure Catalyst shift/AND expressions — the candidates NEVER cross the
+  Python boundary (the round-2 cogrouped-``applyInPandas`` probe
+  shuffled every candidate into Python per wave and measured 2× slower
+  than the exact join — VERDICT r02). Above ``max_broadcast_bytes`` the
+  probe falls back to the cogrouped path automatically.
+- **probe — cogrouped path (the >broadcast scale fallback)**: bitset
+  partition p co-locates with candidate partition p via a cogrouped
+  ``applyInPandas``, so candidates shuffle once on ONE int key and each
+  executor holds only its slice of the 12 GB structure.
 - **hashing**: double hashing ``pos_i = (h1 + i*h2) mod m`` (Kirsch &
-  Mitzenmacher) from the single 64-bit key; h2 forced odd so the probe
-  sequence cycles the full bitset.
+  Mitzenmacher). Both h1 and h2 derive JVM-side — ``h1 = pmod(key, m)``,
+  ``h2 = pmod(xxhash64(key), m) | 1`` (odd → full-cycle for power-of-two
+  m) — so the numpy build and the Catalyst probe share integer-exact
+  small-mod arithmetic (no 64-bit wraparound multiplies, which ANSI mode
+  would reject in Catalyst).
 
 A cuckoo filter (deletions, ~same space) is noted in PAPERS.md as the
 alternative; the crawl never un-sees a URL, so bloom's no-delete
@@ -36,8 +49,6 @@ limitation costs nothing and its build is one vectorized pass.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -45,19 +56,32 @@ from pyspark.sql import functions as F
 
 BLOOM_SCHEMA = "part int, bitset binary"
 
+# above this merged-structure size the broadcast probe would strain the
+# driver; the partitioned cogrouped path takes over (the 10^10 regime).
+MAX_BROADCAST_BYTES = 256 << 20
 
-def _positions(keys: np.ndarray, m_bits: int, k: int) -> np.ndarray:
-    """(n, k) int64 bit positions via double hashing. ``keys`` is int64
-    (xxhash64 output — may be negative; view as uint64)."""
-    h = keys.astype(np.int64).view(np.uint64)
-    h1 = h % np.uint64(m_bits)
-    # mix for h2 (splitmix64 finalizer step), force odd
-    z = h ^ (h >> np.uint64(33))
-    z = z * np.uint64(0xFF51AFD7ED558CCD)
-    z = z ^ (z >> np.uint64(33))
-    h2 = (z | np.uint64(1)) % np.uint64(m_bits)
-    i = np.arange(k, dtype=np.uint64)[None, :]
-    return ((h1[:, None] + i * h2[:, None]) % np.uint64(m_bits)).astype(np.int64)
+
+def _attach_hashes(
+    df: DataFrame, key_col: str, num_partitions: int, m_bits: int
+) -> DataFrame:
+    """JVM-side hash derivation shared by build and probe: the bloom
+    partition and the two double-hashing bases, all reduced mod m so
+    every later step is small-int arithmetic (identical in numpy and in
+    Catalyst, ANSI-safe)."""
+    h = F.col(key_col)
+    return (
+        df.withColumn("__bpart", F.pmod(h, F.lit(num_partitions)).cast("int"))
+        .withColumn("__bh1", F.pmod(h, F.lit(m_bits)))
+        .withColumn(
+            "__bh2", F.pmod(F.xxhash64(h), F.lit(m_bits)).bitwiseOR(F.lit(1))
+        )
+    )
+
+
+def _np_positions(h1: np.ndarray, h2: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """(n, k) int64 bit positions from the pre-reduced hash bases."""
+    i = np.arange(k, dtype=np.int64)[None, :]
+    return (h1[:, None] + i * h2[:, None]) % m_bits
 
 
 def _bitset_from_positions(pos: np.ndarray, m_bits: int) -> bytes:
@@ -88,17 +112,44 @@ def bloom_build(
         raise ValueError("m_bits must be a multiple of 8")
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
-        part = int(pdf["part"].iloc[0])
-        pos = _positions(pdf[key_col].to_numpy(np.int64), m_bits, k)
+        part = int(pdf["__bpart"].iloc[0])
+        pos = _np_positions(
+            pdf["__bh1"].to_numpy(np.int64), pdf["__bh2"].to_numpy(np.int64),
+            m_bits, k,
+        )
         return pd.DataFrame(
             {"part": [part], "bitset": [_bitset_from_positions(pos, m_bits)]}
         )
 
-    keyed = keys.select(
-        F.pmod(F.col(key_col), F.lit(num_partitions)).cast("int").alias("part"),
-        F.col(key_col),
+    keyed = _attach_hashes(keys.select(key_col), key_col, num_partitions, m_bits)
+    return keyed.groupBy("__bpart").applyInPandas(build, BLOOM_SCHEMA)
+
+
+def bloom_merge(bloom: DataFrame) -> DataFrame:
+    """OR-merge delta bitset rows into one row per touched partition
+    (associative + idempotent, so merging per wave — what the engine's
+    replace-mode carry does — equals merging everything at read). P tiny
+    groups; cost is O(deltas × m/8 bytes), independent of crawl size."""
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        part = int(pdf["part"].iloc[0])
+        bits = np.bitwise_or.reduce(
+            [np.frombuffer(b, dtype=np.uint8) for b in pdf["bitset"]]
+        )
+        return pd.DataFrame({"part": [part], "bitset": [bits.tobytes()]})
+
+    return bloom.groupBy("part").applyInPandas(merge, BLOOM_SCHEMA)
+
+
+def _bit_test_expr(i: int, m_bits: int) -> str:
+    """SQL for 'bit (h1 + i*h2) mod m of the little-endian int64 word
+    array is set'. Spark array indexing is 0-based; shiftright on the
+    word is arithmetic but the & 1 mask discards the sign fill."""
+    pos = f"pmod(__bh1 + {i} * __bh2, {m_bits})"
+    return (
+        f"(shiftright(__bwords[CAST(shiftright({pos}, 6) AS INT)], "
+        f"CAST({pos} & 63 AS INT)) & 1) = 1"
     )
-    return keyed.groupBy("part").applyInPandas(build, BLOOM_SCHEMA)
 
 
 def bloom_probe(
@@ -108,16 +159,57 @@ def bloom_probe(
     num_partitions: int = 32,
     m_bits: int = 1 << 20,
     k: int = 4,
+    max_broadcast_bytes: int = MAX_BROADCAST_BYTES,
 ) -> DataFrame:
     """Tag candidates with ``maybe_seen``: False is definitive (bloom
-    guarantee), True must be confirmed by the exact join. Implemented as
-    a cogrouped applyInPandas on the bloom partition id — candidates
-    shuffle once on an int key; delta bitsets are OR-merged per group
-    (associative union of per-wave appends)."""
-    cols = candidates.columns
+    guarantee), True must be confirmed by the exact join.
+
+    Default = the JVM path: OR-merge the bitset rows at the driver
+    (``bloom`` is at most P merged rows when fed from the engine's carry;
+    raw delta logs are merged here the same way), broadcast them as an
+    int64-word dimension, and evaluate the k bit tests as Catalyst
+    expressions — zero Python stages over the candidates. Falls back to
+    the cogrouped partition-local path when the merged structure exceeds
+    ``max_broadcast_bytes``."""
+    rows = bloom.collect()
+    merged: dict[int, np.ndarray] = {}
+    for r in rows:
+        arr = np.frombuffer(r["bitset"], dtype=np.uint8)
+        p = int(r["part"])
+        merged[p] = (merged[p] | arr) if p in merged else arr
+    total_bytes = sum(a.nbytes for a in merged.values())
+    if total_bytes > max_broadcast_bytes:
+        return bloom_probe_cogroup(
+            candidates, bloom, key_col, num_partitions, m_bits, k
+        )
+    spark = candidates.sparkSession
+    dim_rows = [(p, a.view("<i8").tolist()) for p, a in merged.items()]
+    words_dim = spark.createDataFrame(dim_rows, "__bpart int, __bwords array<long>")
+    keyed = _attach_hashes(candidates, key_col, num_partitions, m_bits)
+    probed = keyed.join(F.broadcast(words_dim), "__bpart", "left")
+    test = F.expr(" AND ".join(_bit_test_expr(i, m_bits) for i in range(k)))
+    return probed.withColumn(
+        "maybe_seen",
+        F.when(F.col("__bwords").isNull(), F.lit(False)).otherwise(test),
+    ).drop("__bpart", "__bh1", "__bh2", "__bwords")
+
+
+def bloom_probe_cogroup(
+    candidates: DataFrame,
+    bloom: DataFrame,
+    key_col: str = "url_hash",
+    num_partitions: int = 32,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+) -> DataFrame:
+    """Partition-co-located probe for structures too big to broadcast
+    (the 10^10 regime): candidates shuffle once on the int partition key
+    and meet only their own bitset slice inside a cogrouped
+    applyInPandas; delta bitsets OR-merge per group."""
+    keyed = _attach_hashes(candidates, key_col, num_partitions, m_bits)
 
     def probe(cand: pd.DataFrame, bits_pdf: pd.DataFrame) -> pd.DataFrame:
-        out = cand.drop(columns=["__bloom_part"])
+        out = cand.drop(columns=["__bpart", "__bh1", "__bh2"])
         if len(cand) == 0:
             return out.assign(maybe_seen=pd.Series([], dtype=bool))
         if len(bits_pdf) == 0:
@@ -125,18 +217,18 @@ def bloom_probe(
         bits = np.bitwise_or.reduce(
             [np.frombuffer(b, dtype=np.uint8) for b in bits_pdf["bitset"]]
         )
-        pos = _positions(cand[key_col].to_numpy(np.int64), m_bits, k)
+        pos = _np_positions(
+            cand["__bh1"].to_numpy(np.int64), cand["__bh2"].to_numpy(np.int64),
+            m_bits, k,
+        )
         return out.assign(maybe_seen=_test_positions(bits, pos))
 
-    keyed = candidates.withColumn(
-        "__bloom_part", F.pmod(F.col(key_col), F.lit(num_partitions)).cast("int")
-    )
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
         for f in candidates.schema.fields
     ) + ", maybe_seen boolean"
     return (
-        keyed.groupBy("__bloom_part")
+        keyed.groupBy("__bpart")
         .cogroup(bloom.groupBy("part"))
         .applyInPandas(probe, out_schema)
     )

@@ -61,6 +61,45 @@ def throughput_by_host(metrics: DataFrame, window: str = "1 minute") -> DataFram
     )
 
 
+def document_stream(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Incremental consumer of newly merged documents — the feed a
+    downstream training-data pipeline would tail. Stream rows are the
+    per-wave MERGE *deltas* (merge-on-read, engine._merge_documents): a
+    (start_url, song_url) key may appear more than once across waves or
+    re-crawl cycles; win-rule resolution (min/max dfs_key per topology)
+    is the batch reader's job (engine.documents()). Downstream consumers
+    that need resolved rows either keep per-key latest state themselves
+    or periodically re-read the batch view; consumers that only append
+    (feature extraction, indexing) take the deltas as-is."""
+    from lyrics_crawler_spark.engine import DOCS_SCHEMA
+
+    path = os.path.join(store_dir, "documents")
+    return (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(os.path.join(path, "snap-*"))
+    )
+
+
+def run_document_drain(spark: SparkSession, store_dir: str, out_dir: str) -> int:
+    """Drain all available document delta snapshots into a parquet sink;
+    returns rows processed (test/demo entry). At steady state this runs
+    continuously and each wave's commit surfaces one more file batch."""
+    from lyrics_crawler_spark.engine import DOCS_SCHEMA
+
+    sink = os.path.join(out_dir, "docs_out")
+    q = (
+        document_stream(spark, store_dir)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", os.path.join(out_dir, "_ckpt_docs"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.schema(DOCS_SCHEMA).parquet(sink).count()
+
+
 def run_metrics_drain(spark: SparkSession, store_dir: str, out_dir: str) -> int:
     """Drain all available metric snapshots through the windowed agg into
     a memory sink; returns rows processed (test/demo entry)."""

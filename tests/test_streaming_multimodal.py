@@ -30,6 +30,29 @@ def test_metrics_stream_drain(spark, tmp_store):
     assert stream_total == batch_total
 
 
+def test_document_stream_drain(spark, tmp_store):
+    """The documents delta log is a valid file-stream source: draining it
+    yields every MERGE delta row (pre-resolution), and applying the batch
+    win rule to the drained rows reproduces the batch documents view."""
+    from lyrics_crawler_spark.engine import CrawlEngine
+    from lyrics_crawler_spark.streaming.wave_stream import run_document_drain
+
+    eng = _small_crawl(spark, tmp_store + "/store")
+    n = run_document_drain(spark, eng.store.base_dir, tmp_store + "/out")
+    delta_rows = eng.store.read("documents").count()
+    assert n == delta_rows and n > 0
+    # stream rows are deltas; the batch reader's win rule over them gives
+    # exactly the resolved view
+    drained = eng.spark.read.parquet(tmp_store + "/out/docs_out")
+    resolved = CrawlEngine._resolve_documents(drained)
+    batch = eng.documents()
+    assert resolved.count() == batch.count()
+    assert (
+        set(r.doc_id for r in resolved.select("doc_id").collect())
+        == set(r.doc_id for r in batch.select("doc_id").collect())
+    )
+
+
 def test_multimodal_feature_shapes(spark, tmp_store):
     """Media refs from span arrays → deterministic payloads → Arrow-batched
     feature extraction: schema, determinism, and histogram normalization."""

@@ -11,9 +11,10 @@ import pytest
 from pyspark.sql import functions as F
 
 from lyrics_crawler_spark.operators.urlseen import (
-    _positions,
+    _np_positions,
     bloom_build,
     bloom_probe,
+    bloom_probe_cogroup,
     seen_split,
 )
 from lyrics_crawler_spark.sitegen.graph import SiteSpec
@@ -23,12 +24,34 @@ PARAMS = {"num_partitions": 8, "m_bits": 1 << 16, "k": 4}
 
 
 def test_positions_deterministic_and_in_range():
-    keys = np.arange(-500, 500, dtype=np.int64) * 2654435761
-    p1 = _positions(keys, 1 << 16, 4)
-    p2 = _positions(keys, 1 << 16, 4)
+    m = 1 << 16
+    h1 = np.arange(1000, dtype=np.int64) * 7919 % m
+    h2 = (np.arange(1000, dtype=np.int64) * 104729 % m) | 1
+    p1 = _np_positions(h1, h2, m, 4)
+    p2 = _np_positions(h1, h2, m, 4)
     assert (p1 == p2).all()
     assert p1.shape == (1000, 4)
-    assert p1.min() >= 0 and p1.max() < (1 << 16)
+    assert p1.min() >= 0 and p1.max() < m
+
+
+def test_jvm_and_cogroup_probes_agree(spark):
+    """The broadcast Catalyst probe and the partitioned cogrouped probe
+    are the same filter at two scales — per-key verdicts must be
+    bit-identical (same hash derivation on both sides)."""
+    keys = spark.range(3000).select(
+        F.xxhash64(F.concat(F.lit("k-"), F.col("id"))).alias("url_hash")
+    )
+    bloom = bloom_build(keys.where("url_hash % 3 = 0"), **PARAMS)
+    cand = keys
+    jvm = {
+        r.url_hash: r.maybe_seen
+        for r in bloom_probe(cand, bloom, **PARAMS).collect()
+    }
+    cg = {
+        r.url_hash: r.maybe_seen
+        for r in bloom_probe_cogroup(cand, bloom, **PARAMS).collect()
+    }
+    assert jvm == cg
 
 
 def test_no_false_negatives_and_fp_bound(spark):
