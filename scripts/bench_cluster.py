@@ -115,9 +115,25 @@ spark = get_spark(
 )
 spark.sparkContext.addPyFile(zip_path)
 # assert the app actually owns cores_max cores (all workers attached);
-# a missing worker would deflate the scaling number silently.
-got = spark.sparkContext.defaultParallelism
-assert got == cores_max, f"executor cores {got} != requested {cores_max}"
+# a missing worker would deflate the scaling number silently. Poll the
+# master's JSON endpoint for the app's granted cores — NOT
+# defaultParallelism, which session.py pins to the shuffle width (32)
+# regardless of executors.
+import time, urllib.request
+granted = -1
+app_id = spark.sparkContext.applicationId
+for _ in range(120):
+    try:
+        with urllib.request.urlopen("http://127.0.0.1:42099/json", timeout=5) as r:
+            d = json.load(r)
+        apps = [a for a in d.get("activeapps", []) if a.get("id") == app_id]
+        granted = apps[0].get("cores", -1) if apps else -1
+        if granted == cores_max:
+            break
+    except Exception:
+        pass
+    time.sleep(0.5)
+assert granted == cores_max, f"granted cores {granted} != requested {cores_max}"
 # warm on a smaller-but-real crawl; big measured inputs get ONE run
 # (JIT is path-warm after the warmup; >=2 runs at huge scale would
 # double an already-long protocol for a ~10% tighter number)
