@@ -256,8 +256,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cosine_topk"] = cosine_topk
 
     def ann_lsh(spark, sf):  # LSH-bucketed ANN: the scale path
+        # defaults (n_planes=4, n_tables=16): measured recall@5 = 0.926
+        # vs brute force at sf0.1 (BENCH.md §ANN recall)
         e = _t(spark, sf, "embeddings")
-        return ann_lsh_topk(e, queries_max_id=10, corpus_max_id=300, k=5)
+        return ann_lsh_topk(e, queries_max_id=10, corpus_max_id=300, k=5, dim=64)
 
     q["ann_lsh"] = ann_lsh
 
@@ -268,8 +270,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["embedding_neardup"] = embedding_neardup
 
     def embedding_neardup_lsh(spark, sf):  # LSH-bucketed near-dup: scale path
+        # (n_planes=2, n_tables=8) tuned for this query's loose cos>=0.4
+        # threshold: measured pair recall 0.988 at sf0.1 (BENCH.md)
         e = _t(spark, sf, "embeddings")
-        return cosine_neardup_pairs(e, max_id=300, threshold_m=400)
+        return cosine_neardup_pairs(
+            e, max_id=300, threshold_m=400, n_planes=2, n_tables=8
+        )
 
     q["embedding_neardup_lsh"] = embedding_neardup_lsh
 
@@ -372,6 +378,114 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # ---------------------------------------------------------------------------
 # DuckDB oracles
+
+
+def _dd_buckets(n_planes: int, n_tables: int, dim: int = 64) -> list[str]:
+    """DuckDB twins of lsh_ann_buckets: one bucket expression per LSH
+    table, inlining the SAME ±1 plane literals the Spark operator uses
+    (operators/similarity.py:plane_signs — single source of truth)."""
+    from lyrics_crawler_spark.operators.similarity import plane_signs
+
+    out = []
+    for t in range(n_tables):
+        bits = []
+        for signs in plane_signs(n_planes, dim, t):
+            lit = "[" + ",".join(str(s) for s in signs) + "]"
+            bits.append(
+                f"CASE WHEN list_sum(list_transform(range(1, {dim + 1}), "
+                f"i -> q[i] * ({lit})[i])) >= 0 THEN '1' ELSE '0' END"
+            )
+        out.append("concat(" + ", ".join(bits) + ")")
+    return out
+
+
+def _dd_ann_lsh_sql(
+    queries_max_id: int, corpus_max_id: int, k: int,
+    n_planes: int, n_tables: int, dim: int = 64,
+) -> str:
+    buckets = _dd_buckets(n_planes, n_tables, dim)
+    bcols = ",\n                 ".join(
+        f"{b} AS b{t}" for t, b in enumerate(buckets)
+    )
+    cand = "\n              UNION\n".join(
+        f"""              SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id
+              FROM nz a JOIN nz b ON a.b{t} = b.b{t}
+              WHERE a.vec_id < {queries_max_id} AND a.vec_id <> b.vec_id"""
+        for t in range(n_tables)
+    )
+    return f"""
+        WITH qz AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
+          FROM embeddings WHERE vec_id < {corpus_max_id}
+        ), nz AS (
+          SELECT vec_id, q,
+                 CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS norm2,
+                 {bcols}
+          FROM qz
+        ), cand AS (
+{cand}
+        ), scored AS (
+          SELECT c.query_id, c.neighbor_id,
+                 CAST(list_sum(list_transform(range(1, {dim + 1}),
+                      i -> qa.q[i] * qb.q[i])) AS BIGINT) AS dot,
+                 qb.norm2 AS cn
+          FROM cand c
+          JOIN nz qa ON qa.vec_id = c.query_id
+          JOIN nz qb ON qb.vec_id = c.neighbor_id
+        ), ranked AS (
+          SELECT query_id, neighbor_id, dot,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY CAST(dot * ABS(dot) AS DOUBLE) / cn DESC,
+                            neighbor_id ASC) AS rank
+          FROM scored
+        )
+        SELECT query_id, neighbor_id, rank, dot FROM ranked WHERE rank <= {k}
+    """
+
+
+def _dd_neardup_lsh_sql(
+    max_id: int, threshold_m: int, n_planes: int, n_tables: int, dim: int = 64,
+) -> str:
+    buckets = _dd_buckets(n_planes, n_tables, dim)
+    bcols = ",\n                 ".join(
+        f"{b} AS b{t}" for t, b in enumerate(buckets)
+    )
+    cand = "\n              UNION\n".join(
+        f"""              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM nz a JOIN nz b ON a.b{t} = b.b{t} AND a.vec_id < b.vec_id"""
+        for t in range(n_tables)
+    )
+    return f"""
+        WITH qz AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
+          FROM embeddings WHERE vec_id < {max_id}
+        ), nz AS (
+          SELECT vec_id, q,
+                 CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS norm2,
+                 {bcols}
+          FROM qz
+        ), cand AS (
+{cand}
+        ), scored AS (
+          SELECT c.id_a, c.id_b,
+                 CAST(list_sum(list_transform(range(1, {dim + 1}),
+                      i -> a.q[i] * b.q[i])) AS BIGINT) AS dot,
+                 a.norm2 AS na2, b.norm2 AS nb2
+          FROM cand c
+          JOIN nz a ON a.vec_id = c.id_a
+          JOIN nz b ON b.vec_id = c.id_b
+        )
+        SELECT id_a, id_b, dot,
+               CAST(FLOOR(1000.0 * CAST(dot AS DOUBLE)
+                    / SQRT(CAST(na2 * nb2 AS DOUBLE))) AS BIGINT) AS cos_m
+        FROM scored
+        WHERE FLOOR(1000.0 * CAST(dot AS DOUBLE)
+              / SQRT(CAST(na2 * nb2 AS DOUBLE))) >= {threshold_m}
+    """
 
 
 def _dump(name: str) -> str:
@@ -591,37 +705,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, rank, dot FROM ranked WHERE rank <= 5
         """,
-        "ann_lsh": """
-            WITH qz AS (
-              SELECT vec_id,
-                     list_transform(embedding,
-                       x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
-              FROM embeddings WHERE vec_id < 300
-            ), nz AS (
-              SELECT vec_id, q,
-                     CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS norm2,
-                     array_to_string(list_transform(range(0, 8), p ->
-                       CASE WHEN list_sum(list_transform(range(1, len(q) + 1),
-                         i -> CASE WHEN ((i - 1) * 2654435761 + p * 40503) % 4 < 2
-                              THEN q[i] ELSE -q[i] END)) >= 0
-                       THEN '1' ELSE '0' END), '') AS bucket
-              FROM qz
-            ), pairs AS (
-              SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-                     CAST(list_sum(list_transform(range(1, len(a.q) + 1),
-                          i -> a.q[i] * b.q[i])) AS BIGINT) AS dot,
-                     b.norm2 AS cn
-              FROM nz a JOIN nz b ON a.bucket = b.bucket
-              WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
-            ), ranked AS (
-              SELECT query_id, neighbor_id, dot,
-                     ROW_NUMBER() OVER (PARTITION BY query_id
-                       ORDER BY CAST(dot * ABS(dot) AS DOUBLE) / cn DESC,
-                                neighbor_id ASC) AS rank
-              FROM pairs
-            )
-            SELECT query_id, neighbor_id, rank, dot FROM ranked WHERE rank <= 5
-        """,
+        "ann_lsh": _dd_ann_lsh_sql(10, 300, 5, n_planes=4, n_tables=16),
         "embedding_neardup": """
             WITH qz AS (
               SELECT vec_id,
@@ -646,35 +730,9 @@ def oracle_sql() -> dict[str, str]:
             WHERE FLOOR(1000.0 * CAST(dot AS DOUBLE)
                   / SQRT(CAST(na2 * nb2 AS DOUBLE))) >= 400
         """,
-        "embedding_neardup_lsh": """
-            WITH qz AS (
-              SELECT vec_id,
-                     list_transform(embedding,
-                       x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
-              FROM embeddings WHERE vec_id < 300
-            ), nz AS (
-              SELECT vec_id, q,
-                     CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS norm2,
-                     array_to_string(list_transform(range(0, 8), p ->
-                       CASE WHEN list_sum(list_transform(range(1, len(q) + 1),
-                         i -> CASE WHEN ((i - 1) * 2654435761 + p * 40503) % 4 < 2
-                              THEN q[i] ELSE -q[i] END)) >= 0
-                       THEN '1' ELSE '0' END), '') AS bucket
-              FROM qz
-            ), pairs AS (
-              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                     CAST(list_sum(list_transform(range(1, len(a.q) + 1),
-                          i -> a.q[i] * b.q[i])) AS BIGINT) AS dot,
-                     a.norm2 AS na2, b.norm2 AS nb2
-              FROM nz a JOIN nz b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-            )
-            SELECT id_a, id_b, dot,
-                   CAST(FLOOR(1000.0 * CAST(dot AS DOUBLE)
-                        / SQRT(CAST(na2 * nb2 AS DOUBLE))) AS BIGINT) AS cos_m
-            FROM pairs
-            WHERE FLOOR(1000.0 * CAST(dot AS DOUBLE)
-                  / SQRT(CAST(na2 * nb2 AS DOUBLE))) >= 400
-        """,
+        "embedding_neardup_lsh": _dd_neardup_lsh_sql(
+            300, 400, n_planes=2, n_tables=8
+        ),
         "langid": f"""
             WITH t AS (
               SELECT doc_id, {_dd_tokens('text')} AS toks FROM documents

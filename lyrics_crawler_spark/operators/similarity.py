@@ -74,7 +74,7 @@ def brute_force_topk(
 def cosine_neardup_pairs(
     df: DataFrame, max_id: int | None = None, threshold_m: int = 800,
     vec_col: str = "embedding", key_col: str = "vec_id",
-    exact: bool = False, n_planes: int = 8,
+    exact: bool = False, n_planes: int = 6, n_tables: int = 12,
 ) -> DataFrame:
     """Embedding-cosine near-dup: unordered pairs with cosine ≥
     threshold_m/1000. cos_m = floor(1000·dot/sqrt(na2·nb2)) is
@@ -84,10 +84,13 @@ def cosine_neardup_pairs(
 
     The DEFAULT path is LSH-bucketed (the 100 TB scale path): both sides
     route through :func:`lsh_ann_buckets` and only same-bucket pairs are
-    compared — a shuffled equi-join, never a cross join, so the work is
-    O(n · bucket) instead of O(n²). Each vector has exactly one bucket,
-    so pairs emerge once (no dedup pass needed). Recall is tuned by
-    ``n_planes`` (fewer planes → bigger buckets → higher recall).
+    compared — shuffled equi-joins, never a cross join, so the work is
+    O(L · n · bucket) instead of O(n²). Pair keys from the L tables are
+    deduped slim (id_a, id_b) before vectors rejoin for scoring. Recall
+    = 1-(1-s^b)^L with s = 1-θ/π: the (6, 12) default gives ~0.97 at the
+    operator's cos≥0.8 near-dup design point; looser thresholds need
+    fewer planes / more tables (measured grid in BENCH.md §ANN recall —
+    e.g. (2, 8) measures 0.988 at cos≥0.4 on the synthetic embeddings).
 
     ``exact=True`` is the all-pairs correctness mode for oracle-capped
     runs: it REQUIRES ``max_id`` (refuses to run unbounded — a broadcast
@@ -105,16 +108,36 @@ def cosine_neardup_pairs(
         )
         pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
     else:
-        zb = z.join(lsh_ann_buckets(scope, n_planes, vec_col, key_col), key_col)
-        a = zb.select(
-            F.col(key_col).alias("id_a"), F.col("q").alias("qa"),
-            F.col("norm2").alias("na2"), "bucket",
+        dim = _infer_dim(scope, vec_col)
+        keys = None
+        for t in range(n_tables):
+            bk = lsh_ann_buckets(scope, n_planes, vec_col, key_col,
+                                 dim=dim, table=t)
+            p = (
+                bk.select(F.col(key_col).alias("id_a"), "bucket")
+                .join(bk.select(F.col(key_col).alias("id_b"), "bucket"), "bucket")
+                .where(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b")
+            )
+            keys = p if keys is None else keys.unionByName(p)
+        # slim-pair dedup across tables, then join the vectors back
+        pairs = (
+            keys.distinct()
+            .join(
+                z.select(
+                    F.col(key_col).alias("id_a"), F.col("q").alias("qa"),
+                    F.col("norm2").alias("na2"),
+                ),
+                "id_a",
+            )
+            .join(
+                z.select(
+                    F.col(key_col).alias("id_b"), F.col("q").alias("qb"),
+                    F.col("norm2").alias("nb2"),
+                ),
+                "id_b",
+            )
         )
-        b = zb.select(
-            F.col(key_col).alias("id_b"), F.col("q").alias("qb"),
-            F.col("norm2").alias("nb2"), "bucket",
-        )
-        pairs = a.join(b, "bucket").where(F.col("id_a") < F.col("id_b"))
     return (
         pairs
         .withColumn(
@@ -138,32 +161,58 @@ def cosine_neardup_pairs(
 
 def ann_lsh_topk(
     df: DataFrame, queries_max_id: int, corpus_max_id: int, k: int = 5,
-    n_planes: int = 8, vec_col: str = "embedding", key_col: str = "vec_id",
+    n_planes: int = 4, n_tables: int = 16,
+    vec_col: str = "embedding", key_col: str = "vec_id",
+    dim: int | None = None,
 ) -> DataFrame:
-    """Approximate top-k: candidates = same LSH bucket (equi-join), then
-    exact integer rerank inside the bucket. At 100 TB the bucket join
-    replaces brute-force's crossJoin; recall is tuned by n_planes (and by
-    multi-probe / repeated tables — out of scope here)."""
+    """Approximate top-k: candidates = same LSH bucket in ANY of
+    ``n_tables`` independent plane sets (equi-joins, slim-pair dedup),
+    then exact integer rerank of the candidate set. At 100 TB the bucket
+    joins replace brute-force's crossJoin; recall = 1-(1-s^b)^L is tuned
+    by (n_planes, n_tables) — measured table in BENCH.md §ANN recall."""
     scope = df.where(F.col(key_col) < corpus_max_id)
+    if dim is None:
+        dim = _infer_dim(scope, vec_col)
     z = quantized(scope, vec_col, key_col)
-    bk = lsh_ann_buckets(scope, n_planes, vec_col, key_col)
-    zb = z.join(bk, key_col)
-    qa = zb.where(F.col(key_col) < queries_max_id).select(
-        F.col(key_col).alias("query_id"), F.col("q").alias("qv"), "bucket"
-    )
-    ca = zb.select(
-        F.col(key_col).alias("neighbor_id"), F.col("q").alias("cv"),
-        F.col("norm2").alias("cn"), "bucket",
-    )
-    pairs = qa.join(ca, "bucket").where(F.col("query_id") != F.col("neighbor_id"))
-    scored = pairs.withColumn(
-        "dot",
-        F.expr(
-            "aggregate(zip_with(qv, cv, (a, b) -> a * b), "
-            "cast(0 as bigint), (acc, x) -> acc + x)"
-        ),
-    ).withColumn(
-        "score", (F.col("dot") * F.abs(F.col("dot"))).cast("double") / F.col("cn")
+    cand = None
+    for t in range(n_tables):
+        bk = lsh_ann_buckets(scope, n_planes, vec_col, key_col, dim=dim, table=t)
+        qa = bk.where(F.col(key_col) < queries_max_id).select(
+            F.col(key_col).alias("query_id"), "bucket"
+        )
+        ca = bk.select(F.col(key_col).alias("neighbor_id"), "bucket")
+        p = (
+            qa.join(ca, "bucket")
+            .where(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id")
+        )
+        cand = p if cand is None else cand.unionByName(p)
+    # dedup across tables on the slim id pair, THEN join the vectors
+    # back for the exact rerank — arrays never ride through the distinct.
+    scored = (
+        cand.distinct()
+        .join(
+            z.select(F.col(key_col).alias("query_id"), F.col("q").alias("qv")),
+            "query_id",
+        )
+        .join(
+            z.select(
+                F.col(key_col).alias("neighbor_id"), F.col("q").alias("cv"),
+                F.col("norm2").alias("cn"),
+            ),
+            "neighbor_id",
+        )
+        .withColumn(
+            "dot",
+            F.expr(
+                "aggregate(zip_with(qv, cv, (a, b) -> a * b), "
+                "cast(0 as bigint), (acc, x) -> acc + x)"
+            ),
+        )
+        .withColumn(
+            "score",
+            (F.col("dot") * F.abs(F.col("dot"))).cast("double") / F.col("cn"),
+        )
     )
     from pyspark.sql import Window
 
@@ -175,26 +224,48 @@ def ann_lsh_topk(
     )
 
 
+def plane_signs(n_planes: int, dim: int, table: int = 0) -> list[list[int]]:
+    """Deterministic ±1 sign matrix for sign-random-projection planes,
+    one independent matrix per LSH table. Bits come from blake2b of the
+    (table, plane) label — genuinely independent planes. (The round-2
+    parity hash ``(i*2654435761 + p*40503) % 4`` was LINEAR mod 4: plane
+    p+2 was the exact complement of plane p and p+4 its copy, so any
+    n_planes collapsed to 2 informative bits — measured recall@5 stuck at
+    0.373 for n_planes ∈ {4,6,8,10}. This matrix is the single source of
+    truth for BOTH engines: Spark and the DuckDB oracle twin inline the
+    same literals.)"""
+    import hashlib
+
+    out = []
+    for p in range(n_planes):
+        h = hashlib.blake2b(
+            f"lsh-table-{table}-plane-{p}".encode(), digest_size=(dim + 7) // 8
+        ).digest()
+        out.append([1 if (h[i // 8] >> (i % 8)) & 1 else -1 for i in range(dim)])
+    return out
+
+
+def _infer_dim(df: DataFrame, vec_col: str) -> int:
+    return df.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+
+
 def lsh_ann_buckets(
     df: DataFrame, n_planes: int = 8, vec_col: str = "embedding",
-    key_col: str = "vec_id",
+    key_col: str = "vec_id", dim: int | None = None, table: int = 0,
 ) -> DataFrame:
-    """Sign-random-projection buckets: plane p weights dims with ±1 by a
-    deterministic parity of (p, dim); bucket = the sign bit-string. ANN
-    candidates = equal buckets (equi-join — the scale path)."""
+    """Sign-random-projection buckets: bucket = the sign bit-string of
+    the quantized vector against ``n_planes`` independent ±1 planes
+    (:func:`plane_signs`). ANN candidates = equal buckets (equi-join —
+    the scale path). ``table`` selects an independent plane set for
+    multi-table LSH (recall 1-(1-s^b)^L)."""
+    if dim is None:
+        dim = _infer_dim(df, vec_col)
     q = quantized(df, vec_col, key_col)
-    planes = F.sequence(F.lit(0), F.lit(n_planes - 1))
-    return q.select(
-        key_col,
-        F.expr(
-            f"""
-            concat_ws('', transform(sequence(0, {n_planes - 1}), p ->
-              case when aggregate(
-                zip_with(q, sequence(0, size(q) - 1),
-                         (x, i) -> case when (i * 2654435761 + p * 40503) % 4 < 2
-                                   then x else -x end),
-                cast(0 as bigint), (acc, x) -> acc + x) >= 0
-              then '1' else '0' end))
-            """
-        ).alias("bucket"),
-    )
+    bits = []
+    for signs in plane_signs(n_planes, dim, table):
+        arr = ",".join(str(s) for s in signs)
+        bits.append(
+            f"case when aggregate(zip_with(q, array({arr}), (x, s) -> x * s), "
+            f"cast(0 as bigint), (acc, x) -> acc + x) >= 0 then '1' else '0' end"
+        )
+    return q.select(key_col, F.expr(f"concat({', '.join(bits)})").alias("bucket"))

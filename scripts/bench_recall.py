@@ -1,8 +1,8 @@
-"""ANN recall measurement (VERDICT r01 #9): recall@k of the LSH-bucketed
-ANN path (`ann_lsh_topk`) and of the bucketed near-dup path
-(`cosine_neardup_pairs`) against exact brute-force ground truth, at
-sf0.1, for several n_planes settings (fewer planes = bigger buckets =
-higher recall, more compares).
+"""ANN recall measurement (VERDICT r02 #3): recall@k of the LSH-bucketed
+ANN path (`ann_lsh_topk`) and pair recall of `cosine_neardup_pairs`
+against exact brute-force ground truth at sf0.1, over the
+(n_planes, n_tables) grid — single-table recall is bounded by s^b (s =
+1 - θ/π), multi-table lifts it to 1-(1-s^b)^L.
 
 Prints a markdown table to stdout; paste/commit into BENCH.md.
 
@@ -29,6 +29,7 @@ def main() -> None:
         ann_lsh_topk,
         brute_force_topk,
         cosine_neardup_pairs,
+        lsh_ann_buckets,
     )
     from lyrics_crawler_spark.session import get_spark
 
@@ -42,46 +43,59 @@ def main() -> None:
     )
     truth.cache()
     n_truth = truth.count()
+    all_pairs = n_corpus * (n_corpus - 1)
 
-    print(f"corpus={n_corpus} queries={N_QUERIES} k={K} (sf dir {SF})\n")
-    print("| n_planes | recall@5 | candidate pairs | wall |")
-    print("|---|---|---|---|")
-    rows = []
-    for n_planes in (4, 6, 8, 10):
+    print(f"corpus={n_corpus} queries={N_QUERIES} k={K} (sf dir {SF})")
+    print(f"brute-force candidate volume (ordered pairs): {all_pairs:,}\n")
+    print("| n_planes | n_tables | recall@5 | candidates vs brute | wall |")
+    print("|---|---|---|---|---|")
+    for n_planes, n_tables in [
+        (8, 1), (6, 1), (4, 1),
+        (8, 4), (6, 4), (4, 4),
+        (8, 8), (6, 8), (4, 8), (3, 8), (4, 12), (4, 16),
+    ]:
         t0 = time.time()
         approx = ann_lsh_topk(
-            emb, N_QUERIES, corpus_max, k=K, n_planes=n_planes
+            emb, N_QUERIES, corpus_max, k=K,
+            n_planes=n_planes, n_tables=n_tables,
         ).select("query_id", "neighbor_id")
         hit = truth.join(approx, ["query_id", "neighbor_id"], "left_semi").count()
-        # candidate volume = same-bucket corpus pairs the rerank scored
-        from lyrics_crawler_spark.operators.similarity import lsh_ann_buckets
-
-        bk = lsh_ann_buckets(emb.where(F.col("vec_id") < corpus_max), n_planes)
-        cand = (
-            bk.groupBy("bucket")
-            .count()
-            .agg(F.sum(F.col("count") * (F.col("count") - 1)).alias("p"))
-            .first()["p"]
-        )
+        # candidate volume = deduped same-bucket corpus pairs across tables
+        cand = None
+        for t in range(n_tables):
+            bk = lsh_ann_buckets(
+                emb.where(F.col("vec_id") < corpus_max), n_planes, table=t
+            )
+            p = (
+                bk.selectExpr("vec_id as a", "bucket")
+                .join(bk.selectExpr("vec_id as b", "bucket"), "bucket")
+                .where("a <> b")
+                .select("a", "b")
+            )
+            cand = p if cand is None else cand.unionByName(p)
+        n_cand = cand.distinct().count()
         dt = time.time() - t0
-        recall = hit / n_truth
-        rows.append((n_planes, recall))
-        print(f"| {n_planes} | {recall:.3f} | {cand:,} | {dt:.1f}s |")
-
-    # near-dup recall: bucketed pairs vs exact all-pairs at threshold
-    exact_pairs = cosine_neardup_pairs(
-        emb, max_id=corpus_max, threshold_m=800, exact=True
-    ).select("id_a", "id_b")
-    n_exact = exact_pairs.count()
-    print(f"\nnear-dup ground truth pairs (cos>=0.8, exact all-pairs): {n_exact}")
-    print("| n_planes | near-dup pair recall |")
-    print("|---|---|")
-    for n_planes in (4, 6, 8):
-        got = cosine_neardup_pairs(emb, threshold_m=800, n_planes=n_planes).select(
-            "id_a", "id_b"
+        print(
+            f"| {n_planes} | {n_tables} | {hit / n_truth:.3f} "
+            f"| {n_cand:,} ({n_cand / all_pairs:.1%}) | {dt:.1f}s |"
         )
+
+    # near-dup recall at the entry query's threshold (cos >= 0.4 — this
+    # synthetic corpus has no pairs above ~0.6, see BENCH.md)
+    exact_pairs = cosine_neardup_pairs(
+        emb, max_id=corpus_max, threshold_m=400, exact=True
+    ).select("id_a", "id_b")
+    exact_pairs.cache()
+    n_exact = exact_pairs.count()
+    print(f"\nnear-dup ground truth pairs (cos>=0.4, exact all-pairs): {n_exact}")
+    print("| n_planes | n_tables | near-dup pair recall |")
+    print("|---|---|---|")
+    for n_planes, n_tables in [(8, 1), (4, 4), (4, 8), (3, 8), (4, 16), (2, 8)]:
+        got = cosine_neardup_pairs(
+            emb, threshold_m=400, n_planes=n_planes, n_tables=n_tables
+        ).select("id_a", "id_b")
         hit = exact_pairs.join(got, ["id_a", "id_b"], "left_semi").count()
-        print(f"| {n_planes} | {hit / max(n_exact, 1):.3f} |")
+        print(f"| {n_planes} | {n_tables} | {hit / max(n_exact, 1):.3f} |")
     spark.stop()
 
 
