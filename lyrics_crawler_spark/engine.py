@@ -75,7 +75,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from lyrics_crawler_spark.functions.textops import unescape_arr, unescape_str
-from lyrics_crawler_spark.operators.priority import child_key, seed_key
+from lyrics_crawler_spark.operators.priority import (
+    child_key, child_key_dec, seed_key, seed_key_dec,
+)
 from lyrics_crawler_spark.operators.spans_sql import spans_expr
 from lyrics_crawler_spark.sitegen.graph import SiteGraph, SiteSpec
 from lyrics_crawler_spark.sources.fetch_stage import FETCH_SCHEMA, make_fetch_parse
@@ -84,7 +86,8 @@ from lyrics_crawler_spark.tables.store import SnapshotStore
 FRONTIER_SCHEMA = (
     "dfs_key string, url string, abs_url string, host string, site string, "
     "task_type int, depth int, movie string, movie_url string, artist string, "
-    "album string, album_url string, song string, wave_enq int, cycle int"
+    "album string, album_url string, song string, wave_enq int, cycle int, "
+    "key_dec decimal(38,0)"
 )
 
 FETCH_LOG_SCHEMA = (
@@ -118,10 +121,13 @@ DOCS_SCHEMA = (
 # state and are reconstructible from the logs. On Iceberg each carry is
 # a MERGE target table; here it is a replace-mode snapshot per wave.
 
-# one row per live URL: not yet fetched-ok, error budget not exhausted
+# one row per live URL: not yet fetched-ok, error budget not exhausted.
+# min_key is the DECIMAL key twin (operators/priority.py): it exists only
+# to be min-aggregated and ordered, and decimals keep those aggregates in
+# HashAggregate (string buffers degrade to SortAggregate — BENCH.md).
 PENDING_SCHEMA = (
     "abs_url string, site string, host string, url string, task_type int, "
-    "depth int, min_key string, n_fail long"
+    "depth int, min_key decimal(38,0), n_fail long"
 )
 
 # one row per unresolved non-leaf OCCURRENCE. url_ok flips when the
@@ -134,7 +140,8 @@ UNRESOLVED_SCHEMA = (
     "dfs_key string, abs_url string, site string, host string, url string, "
     "task_type int, depth int, movie string, artist string, "
     "is_exp boolean, url_ok boolean, n_prev long, "
-    "children array<struct<url:string,label:string,child_type:int,album:string>>"
+    "children array<struct<url:string,label:string,child_type:int,album:string>>, "
+    "key_dec decimal(38,0)"
 )
 
 # one row per leaf occurrence awaiting its URL's parse
@@ -575,6 +582,7 @@ class CrawlEngine:
                         seed_key(i, n), u, spec.start_url + u, spec.host,
                         spec.start_url, 0, 0,
                         None, None, None, None, None, None, wave, cycle,
+                        seed_key_dec(i, n),
                     )
                 )
         df = self.spark.createDataFrame(rows, FRONTIER_SCHEMA)
@@ -584,10 +592,12 @@ class CrawlEngine:
         # a fresh cycle resets all three carries.
         pend: dict[str, tuple] = {}
         for r in rows:
-            key, url, abs_url, host, site, tt, depth = r[0], r[1], r[2], r[3], r[4], r[5], r[6]
+            key_dec, url, abs_url, host, site, tt, depth = (
+                r[15], r[1], r[2], r[3], r[4], r[5], r[6]
+            )
             old = pend.get(abs_url)
-            if old is None or key < old[6]:
-                pend[abs_url] = (abs_url, site, host, url, tt, depth, key, 0, wave, True)
+            if old is None or key_dec < old[6]:
+                pend[abs_url] = (abs_url, site, host, url, tt, depth, key_dec, 0, wave, True)
         staged.append(
             self.store.stage_replace(
                 "pending",
@@ -599,7 +609,7 @@ class CrawlEngine:
         )
         unres = [
             (r[0], r[2], r[4], r[3], r[1], r[5], r[6], None, None, False, False,
-             0, None, wave, True)
+             0, None, r[15], wave, True)
             for r in rows
         ]
         staged.append(
@@ -848,6 +858,7 @@ class CrawlEngine:
         res_cols = [
             "dfs_key", "abs_url", "site", "host", "url", "task_type",
             "depth", "movie", "artist", "topology", "children", "action",
+            "key_dec",
         ]
         # every live non-movie occurrence expands (F2 dispatch)
         res_others = live.where(~is_movie).withColumn(
@@ -973,6 +984,7 @@ class CrawlEngine:
             res.where(F.col("action") == "expanded")
             .select(
                 F.col("dfs_key").alias("parent_key"),
+                F.col("key_dec").alias("parent_dec"),
                 F.col("url").alias("parent_url"),
                 "site", "host", "topology", "depth",
                 F.col("movie").alias("p_movie"),
@@ -980,8 +992,8 @@ class CrawlEngine:
                 F.posexplode("children").alias("pos", "child"),
             )
             .select(
-                "parent_key", "parent_url", "site", "host", "topology", "depth",
-                "pos", "p_movie", "p_artist",
+                "parent_key", "parent_dec", "parent_url", "site", "host",
+                "topology", "depth", "pos", "p_movie", "p_artist",
                 F.col("child.url").alias("c_url"),
                 F.col("child.label").alias("c_label"),
                 F.col("child.child_type").alias("c_type"),
@@ -1009,8 +1021,13 @@ class CrawlEngine:
             kids_ok = kids_abs
         # LIFO rank AFTER the filter (survivors keep relative pop order)
         wpar = Window.partitionBy("parent_key").orderBy(F.desc("pos"))
-        kids = kids_ok.withColumn("rank", F.row_number().over(wpar) - 1).withColumn(
-            "c_key", child_key(F.col("parent_key"), F.col("rank"))
+        kids = (
+            kids_ok.withColumn("rank", F.row_number().over(wpar) - 1)
+            .withColumn("c_key", child_key(F.col("parent_key"), F.col("rank")))
+            .withColumn(
+                "c_key_dec",
+                child_key_dec(F.col("parent_dec"), F.col("rank"), F.col("depth")),
+            )
         )
         new_frontier_df = kids.select(
             F.col("c_key").alias("dfs_key"),
@@ -1039,6 +1056,7 @@ class CrawlEngine:
             ).alias("song"),
             F.lit(wave).alias("wave_enq"),
             F.lit(self.cycle).alias("cycle"),
+            F.col("c_key_dec").alias("key_dec"),
         )
         new_kids, n_kids, _kids_entry = self._stage_and_read(
             "frontier", new_frontier_df, wave, FRONTIER_SCHEMA, staged
@@ -1070,13 +1088,18 @@ class CrawlEngine:
         # the maybe-seen side (false positives resolved exactly); the
         # fallback is one slim full-log aggregate.
         if n_kids > 0:
-            kid_urls = new_kids.groupBy("abs_url").agg(
-                F.first("site").alias("site"),
-                F.first("host").alias("host"),
-                F.first("url").alias("url"),
-                F.first("task_type").alias("task_type"),
+            # site/host/url/task_type are functions of abs_url, so they
+            # ride as GROUP KEYS (arbitrary-width keys are fine in a hash
+            # map) and both buffers stay fixed-width numerics — this agg
+            # is a map-side-combinable HashAggregate. The obvious
+            # first(site)/min(dfs_key) spelling has string buffers, which
+            # silently degrades to SortAggregate: one such stage burned
+            # 300s+ of pure GC per scale-8 crawl at 32 threads (BENCH.md).
+            kid_urls = new_kids.groupBy(
+                "abs_url", "site", "host", "url", "task_type"
+            ).agg(
                 F.min("depth").alias("depth"),
-                F.min("dfs_key").alias("min_key"),
+                F.min("key_dec").alias("min_key"),
             )
             hist_attempts = self.visits(True).select("abs_url", "ok")
             if self.bloom_seen:
@@ -1118,30 +1141,35 @@ class CrawlEngine:
         # such contribution is a row whose state may have changed this
         # wave — exactly the delta-mode commit set (rows with only old
         # contributions are byte-identical to the previous carry).
-        old_side = pending.select(
-            "abs_url", "site", "host", "url", "task_type", "depth", "min_key",
-            "n_fail", F.lit(False).alias("has_ok"), F.lit(0).alias("fail_delta"),
-            F.lit(0).alias("src_new"),
-        )
-        sides = [old_side]
+        # This wave's fetch outcomes fold onto the worklist by JOIN, not
+        # by a null-attribute union side: every fetched URL was selected
+        # FROM pending, so the left join loses nothing — and it lets the
+        # merge aggregate below carry site/host/url/task_type as GROUP
+        # KEYS (hash-map keys may be any width) with purely numeric
+        # buffers, i.e. a HashAggregate. The old spelling aggregated
+        # first(site, ignorenulls)/min(min_key-as-string), whose string
+        # buffers degrade to SortAggregate — the single largest GC source
+        # in the wave loop (BENCH.md round 3).
         if new_log is not None:
-            sides.append(
-                new_log.select(
-                    "abs_url",
-                    F.lit(None).cast("string").alias("site"),
-                    "host",
-                    F.lit(None).cast("string").alias("url"),
-                    F.lit(None).cast("int").alias("task_type"),
-                    F.lit(None).cast("int").alias("depth"),
-                    F.lit(None).cast("string").alias("min_key"),
-                    F.lit(None).cast("long").alias("n_fail"),
-                    F.col("ok").alias("has_ok"),
-                    F.when(~F.col("ok"), F.lit(1)).otherwise(F.lit(0)).alias(
-                        "fail_delta"
-                    ),
-                    F.lit(1).alias("src_new"),
-                )
+            log_agg = new_log.groupBy("abs_url").agg(
+                F.max("ok").alias("w_ok"),
+                F.sum(F.when(~F.col("ok"), 1).otherwise(0)).alias("w_dfail"),
             )
+            old_side = pending.join(log_agg, "abs_url", "left").select(
+                "abs_url", "site", "host", "url", "task_type", "depth",
+                "min_key", "n_fail",
+                F.coalesce("w_ok", F.lit(False)).alias("has_ok"),
+                F.coalesce("w_dfail", F.lit(0)).alias("fail_delta"),
+                F.col("w_ok").isNotNull().cast("int").alias("src_new"),
+            )
+        else:
+            old_side = pending.select(
+                "abs_url", "site", "host", "url", "task_type", "depth",
+                "min_key", "n_fail",
+                F.lit(False).alias("has_ok"), F.lit(0).alias("fail_delta"),
+                F.lit(0).alias("src_new"),
+            )
+        sides = [old_side]
         if kids_checked is not None:
             kid_side = kids_checked
             if prev_keys is not None:
@@ -1173,16 +1201,12 @@ class CrawlEngine:
         for s in sides[1:]:
             allsides = allsides.unionByName(s)
         merged = (
-            allsides.groupBy("abs_url")
+            allsides.groupBy("abs_url", "site", "host", "url", "task_type")
             .agg(
                 F.max("has_ok").alias("has_ok_any"),
                 F.max("n_fail").alias("n_fail0"),
                 F.sum("fail_delta").alias("dfail"),
                 F.max("src_new").alias("touched"),
-                F.first("site", ignorenulls=True).alias("site"),
-                F.first("host", ignorenulls=True).alias("host"),
-                F.first("url", ignorenulls=True).alias("url"),
-                F.first("task_type", ignorenulls=True).alias("task_type"),
                 F.min("depth").alias("depth"),
                 F.min("min_key").alias("min_key"),
             )
@@ -1223,6 +1247,7 @@ class CrawlEngine:
         unres_cols = [
             "dfs_key", "abs_url", "site", "host", "url", "task_type", "depth",
             "movie", "artist", "is_exp", "url_ok", "n_prev", "children",
+            "key_dec",
         ]
         unres_parts = [
             U.where(~F.col("url_ok"))
@@ -1246,10 +1271,12 @@ class CrawlEngine:
             # (a URL with any prior attempt or an existing unresolved
             # occurrence is not fresh — its expander already exists).
             kid_is_movie = (F.col("topology") == 0) & (F.col("task_type") == 1)
+            # min over the decimal key twin (fixed-width buffer →
+            # HashAggregate; min(string dfs_key) would SortAggregate)
             batch_min = (
                 kn.where(kid_is_movie)
                 .groupBy("abs_url")
-                .agg(F.min("dfs_key").alias("batch_min"))
+                .agg(F.min("key_dec").alias("batch_min"))
             )
             known_movies = U.where(is_movie).select("abs_url").distinct()
             kn = (
@@ -1262,7 +1289,7 @@ class CrawlEngine:
                 .withColumn(
                     "is_exp",
                     kid_is_movie
-                    & (F.col("dfs_key") == F.col("batch_min"))
+                    & (F.col("key_dec") == F.col("batch_min"))
                     & ~F.col("k_has_ok")
                     & (F.col("k_n_fail") == 0)
                     & F.col("known").isNull(),

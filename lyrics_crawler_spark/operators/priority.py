@@ -16,14 +16,39 @@ secondary ``n_errors`` column.
 
 8 hex chars support 2^32 siblings; depth ≤ 4 in every topology, so keys
 stay ≤ 32 chars at 10^10-URL scale.
+
+Decimal twin (the hot-aggregate key). Spark's HashAggregateExec only
+accepts *fixed-width mutable* aggregation buffers: ``min(string)`` (and
+``first``/``min_by``/``min(struct)``) silently degrade to
+SortAggregateExec, which at 32 task threads turned one per-wave key
+aggregate into a 300s-GC stage (BENCH.md round 3). ``decimal(38,0)`` IS
+mutable (UnsafeRow reserves a fixed 16-byte slot), so every per-wave
+``min(key)`` runs as a map-side-combinable HashAggregate when keys are
+decimals. Encoding: one base-2^31 digit per tree level,
+
+    digit(L) = 1 + rank(L)  if the key has level L else 0
+    key_dec  = Σ digit(L) · (2^31)^(4-L),  L = 1..4
+
+Absent levels encode 0 < any present digit, so a parent (shorter key)
+sorts before all its children; sibling digits compare numerically —
+exactly the hex string's lexicographic preorder (injective, order-
+isomorphic). Bounds: ≤ 2^31-2 siblings per node (vs 2^32 for the hex
+string — still ~10^9-fan-out headroom at the 10^10-URL design point)
+and ≤ 4 levels (parents at depth ≤ 2; every topology's depth-3 nodes
+are leaves). Max value (2^31)^4 ≈ 2.1e37 < 10^38 fits decimal(38,0).
 """
 
 from __future__ import annotations
+
+from decimal import Decimal
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 KEY_WIDTH = 8
+
+DEC_BASE = 1 << 31  # per-level digit base of the decimal key twin
+KEY_DEC_TYPE = "decimal(38,0)"
 
 
 def hex8(col: Column) -> Column:
@@ -36,3 +61,22 @@ def seed_key(i: int, n: int) -> str:
 
 def child_key(parent_key: Column, rank: Column) -> Column:
     return F.concat(parent_key, hex8(rank))
+
+
+def seed_key_dec(i: int, n: int) -> Decimal:
+    # seed = level 1: digit (1 + rank) at weight DEC_BASE^3
+    return Decimal((n - i) * DEC_BASE**3)
+
+
+def child_key_dec(parent_dec: Column, rank: Column, parent_depth: Column) -> Column:
+    """Decimal twin of :func:`child_key`: append digit (1+rank) at the
+    child's level. ``parent_depth`` ≤ 2 everywhere (depth-3 nodes are
+    leaves in all topologies); the golden trace-equality suite covers
+    every topology, so a new deeper dialect that violated this would
+    diverge loudly, not silently."""
+    w = (
+        F.when(parent_depth == 0, F.lit(Decimal(DEC_BASE**2)))
+        .when(parent_depth == 1, F.lit(Decimal(DEC_BASE)))
+        .otherwise(F.lit(Decimal(1)))
+    )
+    return (parent_dec + (rank.cast("decimal(10,0)") + 1) * w).cast(KEY_DEC_TYPE)

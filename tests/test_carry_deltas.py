@@ -44,12 +44,12 @@ def test_delta_mode_commits_deltas_not_state(spark, tmp_store):
 
     last_delta = spark.read.schema(
         "abs_url string, site string, host string, url string, task_type int,"
-        " depth int, min_key string, n_fail long, w int, live boolean"
+        " depth int, min_key decimal(38,0), n_fail long, w int, live boolean"
     ).parquet(paths[-1])
     live = eng._read_worklist(
         "pending",
         "abs_url string, site string, host string, url string, task_type int,"
-        " depth int, min_key string, n_fail long",
+        " depth int, min_key decimal(38,0), n_fail long",
     )
     assert last_delta.count() < live.count()
 
