@@ -74,7 +74,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-from lyrics_crawler_spark.functions.textops import unescape_arr, unescape_str
+from lyrics_crawler_spark.functions.textops import unescape_arr_col, unescape_col
 from lyrics_crawler_spark.operators.priority import (
     child_key, child_key_dec, seed_key, seed_key_dec,
 )
@@ -1519,14 +1519,19 @@ class CrawlEngine:
                 ),
             )
         )
-        # P17 unescape — once, at the sink, like db_operations.py:37-42
+        # P17 unescape — once, at the sink, like db_operations.py:37-42.
+        # unescape_col/unescape_arr_col (functions/textops.py) run the
+        # '&amp;'-only fast path JVM-side and null-mask the Arrow UDF
+        # input, so only strings with non-'&amp;' entity shapes pay the
+        # python boundary (the pre-fast-path stage was 458 s of JVM GC
+        # at crawl scale 40 — BENCH.md round 3).
         docs_delta = (
-            docs_delta.withColumn("song_u", unescape_str(F.col("song")))
-            .withColumn("movie_u", unescape_str(F.col("movie_val")))
-            .withColumn("lyrics_u", unescape_str(F.col("d_lyrics")))
-            .withColumn("singers_u", unescape_arr(F.col("singers_val")))
-            .withColumn("directors_u", unescape_arr(F.col("directors_val")))
-            .withColumn("lyricists_u", unescape_arr(F.col("lyricists_val")))
+            docs_delta.withColumn("song_u", unescape_col(F.col("song")))
+            .withColumn("movie_u", unescape_col(F.col("movie_val")))
+            .withColumn("lyrics_u", unescape_col(F.col("d_lyrics")))
+            .withColumn("singers_u", unescape_arr_col(F.col("singers_val")))
+            .withColumn("directors_u", unescape_arr_col(F.col("directors_val")))
+            .withColumn("lyricists_u", unescape_arr_col(F.col("lyricists_val")))
         )
         docs_delta = docs_delta.select(
             F.col("site").alias("start_url"),

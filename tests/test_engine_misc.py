@@ -40,3 +40,47 @@ def test_bloom_param_change_fails_fast(spark, tmp_store):
     with pytest.raises(ValueError, match="bloom config mismatch"):
         CrawlEngine(spark, [_spec()], tmp_store, bloom_seen=True,
                     bloom_m_bits=1 << 18)
+
+
+def test_unescape_fast_path_matches_html_unescape(spark):
+    """unescape_col/unescape_arr_col must equal html.unescape exactly,
+    including the adversarial shapes that must NOT take the JVM fast
+    path: bare '&', '&amp' sans semicolon, '&AMP;', numeric charrefs,
+    unknown names, '&amp;amp;' double-encoding, and overlap-ish runs."""
+    from html import unescape
+
+    from pyspark.sql import functions as F
+
+    from lyrics_crawler_spark.functions.textops import (
+        unescape_arr_col, unescape_col,
+    )
+
+    cases = [
+        None, "", "plain words", "a &amp; b", "&amp;", "&amp;amp;",
+        "&amp;&amp;", "x&amp;", "&", "& ", "a & b", "&amp", "&AMP;",
+        "&Amp;", "&lt;tag&gt;", "&#38;", "&#x26;", "&#x26", "&nosuch;",
+        "&am&amp;p;", "&&amp;", "&amp;lt;", "tail&", "&;", "&#;",
+        "mixed &amp; and &lt; here", "&ampamp;;", "a&ampb",
+        "&quot;q&quot;", "&apos;", "&nbsp;", "é &amp; café",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    got = [
+        r["u"]
+        for r in df.select(unescape_col(F.col("s")).alias("u")).collect()
+    ]
+    want = [unescape(c) if c is not None else None for c in cases]
+    assert got == want
+
+    arrays = [None, [], [None], cases, ["&amp;", None, "&", "clean"]]
+    adf = spark.createDataFrame([(a,) for a in arrays], "a array<string>")
+    agot = [
+        r["u"]
+        for r in adf.select(unescape_arr_col(F.col("a")).alias("u")).collect()
+    ]
+    awant = [
+        [unescape(x) if x is not None else None for x in a]
+        if a is not None
+        else None
+        for a in arrays
+    ]
+    assert agot == awant
