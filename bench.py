@@ -54,9 +54,14 @@ def run_crawl_bench(spark, scale: float):
     # URL-seen probe on (the 10^10 design point); default keeps the
     # exact-join fallback so both paths stay measured.
     bloom = os.environ.get("LCS_BENCH_BLOOM", "") == "1"
+    # LCS_BENCH_CARRY_DELTAS=K>0 commits per-wave carry deltas instead
+    # of rewriting the full worklists (compaction every K waves).
+    carry_k = int(os.environ.get("LCS_BENCH_CARRY_DELTAS", "0"))
     d = tempfile.mkdtemp(prefix="lcs_bench_")
     try:
-        eng = CrawlEngine(spark, crawl_specs(scale), d, bloom_seen=bloom)
+        eng = CrawlEngine(
+            spark, crawl_specs(scale), d, bloom_seen=bloom, carry_deltas=carry_k
+        )
         t0 = time.time()
         eng.run(max_waves=60)
         sec = time.time() - t0

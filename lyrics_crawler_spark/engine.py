@@ -266,11 +266,14 @@ class CrawlEngine:
         def job():
             from pyspark.sql import Observation
 
+            t0 = time.time()
             obs = Observation()
             entry = self.store.stage_append(
                 table, df.observe(obs, F.count(F.lit(1)).alias("n")), wave
             )
             n = obs.get["n"]
+            if _TIMING:
+                print(f"    [bg:{table}] {time.time() - t0:.2f}s", flush=True)
             return (entry if n else None), n
 
         futures.append(self._bg_pool().submit(job))
@@ -283,7 +286,11 @@ class CrawlEngine:
         empty snapshot round-trips."""
 
         def job():
-            return self.store.stage_replace(table, df, wave), -1
+            t0 = time.time()
+            out = self.store.stage_replace(table, df, wave), -1
+            if _TIMING:
+                print(f"    [bg:{table}] {time.time() - t0:.2f}s", flush=True)
+            return out
 
         futures.append(self._bg_pool().submit(job))
 

@@ -166,6 +166,10 @@ def run_level(n_workers: int, zip_path: str) -> dict:
              MASTER_URL, zip_path],
             capture_output=True, text=True, cwd=REPO, env=env,
         )
+        # keep the runner's stdout (e.g. LCS_WAVE_TIMING labels) for
+        # post-hoc serial-term attribution
+        with open(os.path.join(WORK, f"runner_{n_workers}w.log"), "w") as f:
+            f.write(out.stdout)
         for line in out.stdout.splitlines():
             if line.startswith("RESULT "):
                 return json.loads(line[len("RESULT "):])
