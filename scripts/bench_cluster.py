@@ -1,5 +1,5 @@
 """Scaling evidence on a REAL multi-executor cluster: Spark standalone on
-localhost, N vs 4N executors (1 worker × 8 cores vs 4 workers × 8 cores).
+localhost, N vs 4N executors (1 worker × 7 cores vs 4 workers × 7 cores).
 
 Why this instead of local[N] (scripts/bench_scaling.py keeps that as the
 single-JVM variant): the north rule's unit of scaling is the *executor*.
@@ -7,13 +7,20 @@ single-JVM variant): the north rule's unit of scaling is the *executor*.
 one memory manager, one shuffle writer — a contention regime no real
 cluster has (measured: tasks off-CPU 75% of their runtime at 32 threads,
 vs ~1060 URLs/s/core at 8 threads). A standalone cluster on the same
-machine gives every executor its own 8-thread JVM exactly like a
+machine gives every executor its own 7-thread JVM exactly like a
 production deployment; executors exchange shuffle blocks over local TCP.
 
 Honesty knobs:
 - each worker's process tree (worker JVM → executor JVM → Arrow python
-  workers) is pinned with ``taskset`` to its own 8-core set, so the 4N
-  level really owns 32 cores and the N level really owns 8;
+  workers) is pinned with ``taskset`` to its own 7-core set, so the 4N
+  level really owns 28 cores and the N level really owns 7;
+- **the driver + master are pinned to their own 4-core set at BOTH
+  levels** — on a real cluster the driver runs on its own node; leaving
+  it unpinned let it borrow the 24 idle cores at the N level while
+  fighting the executors for CPU at the 4N level, which deflated the
+  measured efficiency by construction (round-3 finding: the unpinned-
+  driver protocol measured the 4N level's background writes SLOWER in
+  absolute terms than the N level's);
 - the application code ships to executors via a --py-files zip (the
   north rule's deployment mode), not via a shared PYTHONPATH;
 - same input, same shuffle partitioning (32) at both levels; each level
@@ -39,6 +46,8 @@ SPARK_HOME = "/opt/spark"
 MASTER_URL = "spark://127.0.0.1:7077"
 SCALE = float(sys.argv[1]) if len(sys.argv) > 1 else 40.0
 WORK = "/tmp/lcs_cluster"
+EXEC_CORES = 7          # per-executor task slots
+DRIVER_PIN = "28-31"    # driver + master own these cores at BOTH levels
 
 
 def wait_workers(n: int, timeout: float = 90.0) -> None:
@@ -96,21 +105,28 @@ def build_pyfiles_zip() -> str:
 
 
 RUNNER = r"""
-import json, sys
+import json, os, sys
 sys.path.insert(0, sys.argv[4])  # driver-side import of the zip
 from lyrics_crawler_spark.session import get_spark
 from bench import run_crawl_bench
 cores_max = int(sys.argv[1]); scale = float(sys.argv[2]); zip_path = sys.argv[4]
+# LCS_CLUSTER_EXTRA_CONF="k=v;k=v" for protocol experiments (e.g. AQE)
+extra = dict(
+    kv.split("=", 1)
+    for kv in os.environ.get("LCS_CLUSTER_EXTRA_CONF", "").split(";")
+    if kv
+)
 spark = get_spark(
     f"lcs-cluster-{cores_max}",
     master=sys.argv[3],
     shuffle_partitions=32,
     extra_conf={
         "spark.cores.max": str(cores_max),
-        "spark.executor.cores": "8",
+        "spark.executor.cores": "7",
         "spark.executor.memory": "20g",
         "spark.submit.pyFiles": zip_path,   # --py-files equivalent
         "spark.pyspark.python": sys.executable,
+        **extra,
     },
 )
 spark.sparkContext.addPyFile(zip_path)
@@ -150,10 +166,10 @@ spark.stop()
 def run_level(n_workers: int, zip_path: str) -> dict:
     workers = []
     for i in range(n_workers):
-        pin = f"{8 * i}-{8 * i + 7}"
+        pin = f"{EXEC_CORES * i}-{EXEC_CORES * i + EXEC_CORES - 1}"
         workers.append(spark_class(
             "org.apache.spark.deploy.worker.Worker", MASTER_URL,
-            "--cores", "8", "--memory", "22g",
+            "--cores", str(EXEC_CORES), "--memory", "22g",
             "--port", str(41000 + i), "--webui-port", str(42000 + i),
             "--work-dir", os.path.join(WORK, f"worker{i}"),
             pin=pin, log=os.path.join(WORK, f"worker{i}.log"),
@@ -162,8 +178,9 @@ def run_level(n_workers: int, zip_path: str) -> dict:
     try:
         env = dict(os.environ, SPARK_DRIVER_MEMORY="16g")
         out = subprocess.run(
-            [sys.executable, "-c", RUNNER, str(8 * n_workers), str(SCALE),
-             MASTER_URL, zip_path],
+            ["taskset", "-c", DRIVER_PIN,
+             sys.executable, "-c", RUNNER, str(EXEC_CORES * n_workers),
+             str(SCALE), MASTER_URL, zip_path],
             capture_output=True, text=True, cwd=REPO, env=env,
         )
         # keep the runner's stdout (e.g. LCS_WAVE_TIMING labels) for
@@ -193,7 +210,7 @@ def main() -> None:
     master = spark_class(
         "org.apache.spark.deploy.master.Master",
         "--host", "127.0.0.1", "--port", "7077", "--webui-port", "42099",
-        log=os.path.join(WORK, "master.log"),
+        pin=DRIVER_PIN, log=os.path.join(WORK, "master.log"),
     )
     try:
         wait_port(7077)
@@ -205,7 +222,7 @@ def main() -> None:
     thru1, thru4 = m1["urls_per_sec"], m4["urls_per_sec"]
     eff = round((thru4 / thru1) / 4.0, 3)
     print(json.dumps({
-        "metric": "crawl throughput scaling, 1 vs 4 executors (8 cores each, pinned)",
+        "metric": f"crawl throughput scaling, 1 vs 4 executors ({EXEC_CORES} cores each, pinned; driver isolated)",
         "scale": SCALE, "urls": m1["urls"],
         "runs_1exec": r1["runs"], "runs_4exec": r4["runs"],
         "throughput_N": thru1, "throughput_4N": thru4,
@@ -217,17 +234,21 @@ executors"): the identical crawl job on identical synthetic input
 (seeded five-dialect site graph, ids drawn from the 10^10-URL address
 space, 16 KB realistic page weight, {m1["urls"]:,} URLs) on a **real
 multi-executor Spark standalone cluster** on this machine — N = 1
-executor × 8 cores vs 4N = 4 executors × 8 cores, every worker's whole
-process tree (worker JVM → executor JVM → Arrow python workers) pinned
-with `taskset` to its own 8-core set. Application code ships to
-executors via a `--py-files` zip. Each level warms JIT on a smaller
-crawl first (a long-lived cluster never pays cold-JIT costs).
-Shuffle partitioning (32) is identical at both levels.
+executor × {EXEC_CORES} cores vs 4N = 4 executors × {EXEC_CORES} cores,
+every worker's whole process tree (worker JVM → executor JVM → Arrow
+python workers) pinned with `taskset` to its own {EXEC_CORES}-core set,
+and the **driver + master pinned to their own 4-core set at both
+levels** (a real cluster runs the driver on its own node; an unpinned
+driver borrows idle cores at N and fights executors at 4N, deflating
+the ratio by construction). Application code ships to executors via a
+`--py-files` zip. Each level warms JIT on a smaller crawl first (a
+long-lived cluster never pays cold-JIT costs). Shuffle partitioning
+(32) is identical at both levels.
 
 | level | runs | best wall | URLs/s |
 |---|---|---|---|
-| 1 executor × 8 cores (N) | {", ".join(str(r["sec"]) + "s" for r in r1["runs"])} | {m1["sec"]}s | {thru1} |
-| 4 executors × 8 cores (4N) | {", ".join(str(r["sec"]) + "s" for r in r4["runs"])} | {m4["sec"]}s | {thru4} |
+| 1 executor × {EXEC_CORES} cores (N) | {", ".join(str(r["sec"]) + "s" for r in r1["runs"])} | {m1["sec"]}s | {thru1} |
+| 4 executors × {EXEC_CORES} cores (4N) | {", ".join(str(r["sec"]) + "s" for r in r4["runs"])} | {m4["sec"]}s | {thru4} |
 
 - URLs fetched+parsed per run: **{m1["urls"]:,}** (documents merged: {m1["docs"]:,})
 - scaling efficiency (thru@4N / thru@N) / 4 = **{eff}** (target ≥ 0.8)
