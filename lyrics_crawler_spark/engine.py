@@ -861,7 +861,8 @@ class CrawlEngine:
                 .drop("new_children")
             )
         live = U.where("url_ok")
-        is_movie = (F.col("topology") == 0) & (F.col("task_type") == 1)
+        D2 = self._memo("d2_resolution", self._build_d2_exprs)
+        is_movie = D2["is_movie"]
         res_cols = [
             "dfs_key", "abs_url", "site", "host", "url", "task_type",
             "depth", "movie", "artist", "topology", "children", "action",
@@ -878,31 +879,14 @@ class CrawlEngine:
         # (base_crawler.py:158-172); other dup occurrences defer until
         # every distinct child is settled, then apply the same count
         # equality: number_of_songs = n_prev + newly-saved children.
-        movies = (
-            live.where(is_movie)
-            .withColumn("L", F.size("children"))
-            .withColumn(
-                "n_distinct",
-                F.size(F.array_distinct(F.transform("children", lambda c: c["url"]))),
-            )
+        movies = live.where(is_movie).withColumn("L", F.size("children"))
+        res_imm = movies.where(D2["imm_where"]).withColumn(
+            "action", D2["imm_action"]
         )
-        res_imm = movies.where(
-            F.col("is_exp") | (F.col("L") == 0) | (F.col("n_prev") == F.col("L"))
-        ).withColumn(
-            "action",
-            F.when(F.col("n_prev") == F.col("L"), F.lit("skipped_no_new")).otherwise(
-                F.lit("expanded")
-            ),
+        defer_check = movies.where(D2["defer_where"])
+        song_urls = defer_check.select(*D2["song_urls_sel"]).withColumn(
+            "child_abs", F.concat(F.col("site"), F.col("child_url"))
         )
-        defer_check = movies.where(
-            ~F.col("is_exp") & (F.col("L") > 0) & (F.col("n_prev") != F.col("L"))
-        )
-        song_urls = defer_check.select(
-            "dfs_key", "abs_url", "site", "max_err", "L", "n_prev",
-            F.explode(
-                F.array_distinct(F.transform("children", lambda c: c["url"]))
-            ).alias("child_url"),
-        ).withColumn("child_abs", F.concat(F.col("site"), F.col("child_url")))
         # child settlement probe: slim (abs_url, ok) scan of the cycle's
         # attempt log, pre-filtered by the (small) deferred child set via
         # a broadcast semi-join — the log is never shuffled. AQE's
@@ -915,10 +899,7 @@ class CrawlEngine:
         cs = (
             attempts.join(F.broadcast(child_keys), "abs_url", "left_semi")
             .groupBy("abs_url")
-            .agg(
-                F.max("ok").alias("s_has_ok"),
-                F.sum(F.when(~F.col("ok"), 1).otherwise(0)).alias("s_n_fail"),
-            )
+            .agg(*D2["cs_agg"])
             .withColumnRenamed("abs_url", "child_abs")
         )
         song_state = (
@@ -941,25 +922,13 @@ class CrawlEngine:
         else:
             song_state = song_state.withColumn("prev_doc", F.lit(False))
         song_state = song_state.withColumn(
-            "settled",
-            F.col("prev_doc")
-            | F.col("s_has_ok")
-            | (F.col("s_n_fail") >= F.col("max_err")),
-        ).withColumn("newly_saved", F.col("s_has_ok") & ~F.col("prev_doc"))
+            "settled", D2["settled"]
+        ).withColumn("newly_saved", D2["newly_saved"])
         dup_decided = (
             song_state.groupBy("dfs_key", "abs_url", "L", "n_prev")
-            .agg(
-                F.min(F.col("settled").cast("int")).alias("all_settled"),
-                F.sum(F.col("newly_saved").cast("int")).alias("n_new_saved"),
-            )
+            .agg(*D2["dup_agg"])
             .where(F.col("all_settled") == 1)
-            .withColumn(
-                "action",
-                F.when(
-                    F.col("n_prev") + F.col("n_new_saved") == F.col("L"),
-                    F.lit("skipped_no_new"),
-                ).otherwise(F.lit("expanded")),
-            )
+            .withColumn("action", D2["dup_action"])
             .select("dfs_key", "abs_url", "action")
         )
         dup_full = defer_check.drop("action").join(
@@ -987,33 +956,16 @@ class CrawlEngine:
         _t = _tick('resolution-submit', _t)
 
         # -------- children fan-out (X1–X6 + robots + LIFO rank keys) ----
+        # all expression trees are wave-invariant → built once (_memo)
+        X = self._memo("kids_fanout", self._build_kids_exprs)
         kids_raw = (
             res.where(F.col("action") == "expanded")
-            .select(
-                F.col("dfs_key").alias("parent_key"),
-                F.col("key_dec").alias("parent_dec"),
-                F.col("url").alias("parent_url"),
-                "site", "host", "topology", "depth",
-                F.col("movie").alias("p_movie"),
-                F.col("artist").alias("p_artist"),
-                F.posexplode("children").alias("pos", "child"),
-            )
-            .select(
-                "parent_key", "parent_dec", "parent_url", "site", "host",
-                "topology", "depth", "pos", "p_movie", "p_artist",
-                F.col("child.url").alias("c_url"),
-                F.col("child.label").alias("c_label"),
-                F.col("child.child_type").alias("c_type"),
-                F.col("child.album").alias("c_album"),
-            )
+            .select(*X["explode_sel"])
+            .select(*X["child_sel"])
         )
-        kids_abs = kids_raw.withColumn(
-            "c_abs",
-            F.when(
-                (F.col("topology") == 1) & (F.col("c_type") == 1),
-                F.concat(F.col("site"), F.lit("/"), F.col("c_url")),
-            ).otherwise(F.concat(F.col("site"), F.col("c_url"))),
-        ).withColumn("c_path", F.regexp_replace("c_abs", r"^https?://[^/]+", ""))
+        kids_abs = kids_raw.withColumn("c_abs", X["c_abs"]).withColumn(
+            "c_path", X["c_path"]
+        )
         # robots Disallow: broadcast anti-join on (host, path prefix);
         # statically elided when no site declares rules.
         if self._any_robots:
@@ -1027,40 +979,13 @@ class CrawlEngine:
         else:
             kids_ok = kids_abs
         # LIFO rank AFTER the filter (survivors keep relative pop order)
-        wpar = Window.partitionBy("parent_key").orderBy(F.desc("pos"))
         kids = (
-            kids_ok.withColumn("rank", F.row_number().over(wpar) - 1)
-            .withColumn("c_key", child_key(F.col("parent_key"), F.col("rank")))
-            .withColumn(
-                "c_key_dec",
-                child_key_dec(F.col("parent_dec"), F.col("rank"), F.col("depth")),
-            )
+            kids_ok.withColumn("rank", X["rank"])
+            .withColumn("c_key", X["c_key"])
+            .withColumn("c_key_dec", X["c_key_dec"])
         )
         new_frontier_df = kids.select(
-            F.col("c_key").alias("dfs_key"),
-            F.col("c_url").alias("url"),
-            F.col("c_abs").alias("abs_url"),
-            "host", "site",
-            F.col("c_type").alias("task_type"),
-            (F.col("depth") + 1).alias("depth"),
-            F.when((F.col("topology") == 0) & (F.col("c_type") == 1), F.col("c_label"))
-            .when((F.col("topology") == 0) & (F.col("c_type") == 2), F.col("p_movie"))
-            .alias("movie"),
-            F.when((F.col("topology") == 0) & (F.col("c_type") == 2), F.col("parent_url"))
-            .alias("movie_url"),
-            F.when(F.col("topology").isin(1, 2) & (F.col("c_type") == 1), F.col("c_label"))
-            .when(F.col("topology").isin(1, 2) & (F.col("c_type") != 1), F.col("p_artist"))
-            .alias("artist"),
-            F.when((F.col("topology") == 1) & (F.col("c_type") == 2), F.col("c_album"))
-            .alias("album"),
-            F.when((F.col("topology") == 1) & (F.col("c_type") == 2), F.col("parent_url"))
-            .alias("album_url"),
-            F.when(
-                ((F.col("topology") == 0) & (F.col("c_type") == 2))
-                | ((F.col("topology") == 1) & (F.col("c_type") == 2))
-                | ((F.col("topology") == 2) & (F.col("c_type") == 3)),
-                F.col("c_label"),
-            ).alias("song"),
+            *X["frontier_sel"],
             F.lit(wave).alias("wave_enq"),
             F.lit(self.cycle).alias("cycle"),
             F.col("c_key_dec").alias("key_dec"),
@@ -1157,25 +1082,14 @@ class CrawlEngine:
         # first(site, ignorenulls)/min(min_key-as-string), whose string
         # buffers degrade to SortAggregate — the single largest GC source
         # in the wave loop (BENCH.md round 3).
+        PM = self._memo("pending_merge", self._build_pending_merge_exprs)
         if new_log is not None:
-            log_agg = new_log.groupBy("abs_url").agg(
-                F.max("ok").alias("w_ok"),
-                F.sum(F.when(~F.col("ok"), 1).otherwise(0)).alias("w_dfail"),
-            )
+            log_agg = new_log.groupBy("abs_url").agg(*PM["log_agg"])
             old_side = pending.join(log_agg, "abs_url", "left").select(
-                "abs_url", "site", "host", "url", "task_type", "depth",
-                "min_key", "n_fail",
-                F.coalesce("w_ok", F.lit(False)).alias("has_ok"),
-                F.coalesce("w_dfail", F.lit(0)).alias("fail_delta"),
-                F.col("w_ok").isNotNull().cast("int").alias("src_new"),
+                *PM["old_side_logged"]
             )
         else:
-            old_side = pending.select(
-                "abs_url", "site", "host", "url", "task_type", "depth",
-                "min_key", "n_fail",
-                F.lit(False).alias("has_ok"), F.lit(0).alias("fail_delta"),
-                F.lit(0).alias("src_new"),
-            )
+            old_side = pending.select(*PM["old_side_plain"])
         sides = [old_side]
         if kids_checked is not None:
             kid_side = kids_checked
@@ -1196,28 +1110,14 @@ class CrawlEngine:
                     )
                     .drop("topology")
                 )
-            sides.append(
-                kid_side.select(
-                    "abs_url", "site", "host", "url", "task_type", "depth",
-                    "min_key", F.col("k_n_fail").alias("n_fail"),
-                    F.col("k_has_ok").alias("has_ok"), F.lit(0).alias("fail_delta"),
-                    F.lit(1).alias("src_new"),
-                )
-            )
+            sides.append(kid_side.select(*PM["kid_side"]))
         allsides = sides[0]
         for s in sides[1:]:
             allsides = allsides.unionByName(s)
         merged = (
             allsides.groupBy("abs_url", "site", "host", "url", "task_type")
-            .agg(
-                F.max("has_ok").alias("has_ok_any"),
-                F.max("n_fail").alias("n_fail0"),
-                F.sum("fail_delta").alias("dfail"),
-                F.max("src_new").alias("touched"),
-                F.min("depth").alias("depth"),
-                F.min("min_key").alias("min_key"),
-            )
-            .withColumn("n_fail", F.coalesce("n_fail0", F.lit(0)) + F.col("dfail"))
+            .agg(*PM["merge_agg"])
+            .withColumn("n_fail", PM["n_fail"])
             .join(dim.select("site", "max_err"), "site")
             .persist()
         )
@@ -1478,6 +1378,252 @@ class CrawlEngine:
 
     # ---------------- documents sink ----------------
 
+    def _memo(self, key: str, build):
+        """Cache wave-invariant Column expression trees. Every pyspark
+        expression node is a py4j round trip (~0.9 ms); the wave loop
+        used to rebuild ~9,300 of them per wave (cProfile: 46,700 round
+        trips over a 5-wave crawl — BENCH.md round 3). Columns are
+        immutable unresolved trees, so one JVM-side instance serves
+        every wave."""
+        d = self.__dict__.setdefault("_expr_memo", {})
+        if key not in d:
+            d[key] = build()
+        return d[key]
+
+    def _docs_sink_exprs(self):
+        def build():
+            withcols = [
+                (
+                    "movie_val",
+                    F.when(F.col("topology") == 0, F.col("movie"))
+                    .when(F.col("topology") == 1, F.col("album"))
+                    .otherwise(F.col("d_album")),
+                ),
+                (
+                    "movie_url_val",
+                    F.when(F.col("topology") == 0, F.col("movie_url"))
+                    .when(F.col("topology") == 1, F.col("album_url"))
+                    # Type2 quirk (base_crawler.py:732)
+                    .otherwise(F.col("url")),
+                ),
+                (
+                    "singers_val",
+                    F.when(F.col("topology") == 0, F.col("d_singers"))
+                    .when(F.col("topology") == 1, F.array(F.col("artist")))
+                    .otherwise(
+                        F.concat(
+                            F.coalesce(
+                                F.col("d_other"), F.array().cast("array<string>")
+                            ),
+                            F.array(F.col("artist")),
+                        )
+                    ),
+                ),
+                (
+                    "directors_val",
+                    F.when(F.col("topology") == 0, F.col("d_directors")).otherwise(
+                        F.array(F.col("artist"))
+                    ),
+                ),
+                (
+                    "lyricists_val",
+                    F.when(F.col("topology") == 1, F.array(F.col("artist")))
+                    .otherwise(F.col("d_lyricists")),
+                ),
+                # P17 unescape — once, at the sink (db_operations.py:37-42).
+                # unescape_col/unescape_arr_col (functions/textops.py) run
+                # the '&amp;'-only fast path JVM-side and null-mask the
+                # Arrow UDF input, so only strings with non-'&amp;' entity
+                # shapes pay the python boundary (the pre-fast-path stage
+                # was 458 s of JVM GC at crawl scale 40 — BENCH.md).
+                ("song_u", unescape_col(F.col("song"))),
+                ("movie_u", unescape_col(F.col("movie_val"))),
+                ("lyrics_u", unescape_col(F.col("d_lyrics"))),
+                ("singers_u", unescape_arr_col(F.col("singers_val"))),
+                ("directors_u", unescape_arr_col(F.col("directors_val"))),
+                ("lyricists_u", unescape_arr_col(F.col("lyricists_val"))),
+            ]
+            sel_pre = [
+                F.col("site").alias("start_url"),
+                F.col("url").alias("song_url"),
+                F.col("abs_url").alias("doc_id"),
+                F.col("host"),
+                F.col("topology"),
+                F.col("song_u").alias("song"),
+                F.col("movie_u").alias("movie"),
+                F.col("movie_url_val").alias("movie_url"),
+                F.col("artist"),
+                F.col("dfs_key"),
+            ]
+            sel_post = [
+                F.col("fetched_at").cast("int").alias("fetched_at"),
+                spans_expr(
+                    F.col("movie_u"), F.col("singers_u"), F.col("directors_u"),
+                    F.col("lyricists_u"), F.col("lyrics_u"),
+                ).alias("spans"),
+            ]
+            return withcols, sel_pre, sel_post
+
+        return self._memo("docs_sink", build)
+
+    def _build_d2_exprs(self) -> dict:
+        """Wave-invariant expression trees of the D2 movie resolution
+        (expander / deferred-dup settlement); see :meth:`_memo`."""
+        return {
+            "is_movie": (F.col("topology") == 0) & (F.col("task_type") == 1),
+            "imm_where": F.col("is_exp")
+            | (F.col("L") == 0)
+            | (F.col("n_prev") == F.col("L")),
+            "imm_action": F.when(
+                F.col("n_prev") == F.col("L"), F.lit("skipped_no_new")
+            ).otherwise(F.lit("expanded")),
+            "defer_where": ~F.col("is_exp")
+            & (F.col("L") > 0)
+            & (F.col("n_prev") != F.col("L")),
+            "song_urls_sel": [
+                F.col(c)
+                for c in ("dfs_key", "abs_url", "site", "max_err", "L", "n_prev")
+            ] + [
+                F.explode(
+                    F.array_distinct(F.transform("children", lambda c: c["url"]))
+                ).alias("child_url"),
+            ],
+            "cs_agg": [
+                F.max("ok").alias("s_has_ok"),
+                F.sum(F.when(~F.col("ok"), 1).otherwise(0)).alias("s_n_fail"),
+            ],
+            "settled": F.col("prev_doc")
+            | F.col("s_has_ok")
+            | (F.col("s_n_fail") >= F.col("max_err")),
+            "newly_saved": F.col("s_has_ok") & ~F.col("prev_doc"),
+            "dup_agg": [
+                F.min(F.col("settled").cast("int")).alias("all_settled"),
+                F.sum(F.col("newly_saved").cast("int")).alias("n_new_saved"),
+            ],
+            "dup_action": F.when(
+                F.col("n_prev") + F.col("n_new_saved") == F.col("L"),
+                F.lit("skipped_no_new"),
+            ).otherwise(F.lit("expanded")),
+        }
+
+    def _build_pending_merge_exprs(self) -> dict:
+        """Wave-invariant expression trees of the pending' merge; see
+        :meth:`_memo` and the in-line comments at the call site (the
+        HashAggregate-vs-SortAggregate buffer story lives there)."""
+        keys = ["abs_url", "site", "host", "url", "task_type", "depth"]
+        return {
+            "log_agg": [
+                F.max("ok").alias("w_ok"),
+                F.sum(F.when(~F.col("ok"), 1).otherwise(0)).alias("w_dfail"),
+            ],
+            "old_side_logged": [F.col(c) for c in keys] + [
+                F.col("min_key"), F.col("n_fail"),
+                F.coalesce("w_ok", F.lit(False)).alias("has_ok"),
+                F.coalesce("w_dfail", F.lit(0)).alias("fail_delta"),
+                F.col("w_ok").isNotNull().cast("int").alias("src_new"),
+            ],
+            "old_side_plain": [F.col(c) for c in keys] + [
+                F.col("min_key"), F.col("n_fail"),
+                F.lit(False).alias("has_ok"), F.lit(0).alias("fail_delta"),
+                F.lit(0).alias("src_new"),
+            ],
+            "kid_side": [F.col(c) for c in keys] + [
+                F.col("min_key"), F.col("k_n_fail").alias("n_fail"),
+                F.col("k_has_ok").alias("has_ok"),
+                F.lit(0).alias("fail_delta"), F.lit(1).alias("src_new"),
+            ],
+            "merge_agg": [
+                F.max("has_ok").alias("has_ok_any"),
+                F.max("n_fail").alias("n_fail0"),
+                F.sum("fail_delta").alias("dfail"),
+                F.max("src_new").alias("touched"),
+                F.min("depth").alias("depth"),
+                F.min("min_key").alias("min_key"),
+            ],
+            "n_fail": F.coalesce("n_fail0", F.lit(0)) + F.col("dfail"),
+        }
+
+    def _build_kids_exprs(self) -> dict:
+        """Wave-invariant expression trees of the children fan-out
+        (X1–X6 + LIFO rank keys); see :meth:`_memo`."""
+        wpar = Window.partitionBy("parent_key").orderBy(F.desc("pos"))
+        return {
+            "explode_sel": [
+                F.col("dfs_key").alias("parent_key"),
+                F.col("key_dec").alias("parent_dec"),
+                F.col("url").alias("parent_url"),
+                F.col("site"), F.col("host"), F.col("topology"), F.col("depth"),
+                F.col("movie").alias("p_movie"),
+                F.col("artist").alias("p_artist"),
+                F.posexplode("children").alias("pos", "child"),
+            ],
+            "child_sel": [
+                F.col(c) for c in (
+                    "parent_key", "parent_dec", "parent_url", "site", "host",
+                    "topology", "depth", "pos", "p_movie", "p_artist",
+                )
+            ] + [
+                F.col("child.url").alias("c_url"),
+                F.col("child.label").alias("c_label"),
+                F.col("child.child_type").alias("c_type"),
+                F.col("child.album").alias("c_album"),
+            ],
+            "c_abs": F.when(
+                (F.col("topology") == 1) & (F.col("c_type") == 1),
+                F.concat(F.col("site"), F.lit("/"), F.col("c_url")),
+            ).otherwise(F.concat(F.col("site"), F.col("c_url"))),
+            "c_path": F.regexp_replace("c_abs", r"^https?://[^/]+", ""),
+            "rank": F.row_number().over(wpar) - 1,
+            "c_key": child_key(F.col("parent_key"), F.col("rank")),
+            "c_key_dec": child_key_dec(
+                F.col("parent_dec"), F.col("rank"), F.col("depth")
+            ),
+            "frontier_sel": [
+                F.col("c_key").alias("dfs_key"),
+                F.col("c_url").alias("url"),
+                F.col("c_abs").alias("abs_url"),
+                F.col("host"), F.col("site"),
+                F.col("c_type").alias("task_type"),
+                (F.col("depth") + 1).alias("depth"),
+                F.when(
+                    (F.col("topology") == 0) & (F.col("c_type") == 1),
+                    F.col("c_label"),
+                )
+                .when(
+                    (F.col("topology") == 0) & (F.col("c_type") == 2),
+                    F.col("p_movie"),
+                )
+                .alias("movie"),
+                F.when(
+                    (F.col("topology") == 0) & (F.col("c_type") == 2),
+                    F.col("parent_url"),
+                ).alias("movie_url"),
+                F.when(
+                    F.col("topology").isin(1, 2) & (F.col("c_type") == 1),
+                    F.col("c_label"),
+                )
+                .when(
+                    F.col("topology").isin(1, 2) & (F.col("c_type") != 1),
+                    F.col("p_artist"),
+                )
+                .alias("artist"),
+                F.when(
+                    (F.col("topology") == 1) & (F.col("c_type") == 2),
+                    F.col("c_album"),
+                ).alias("album"),
+                F.when(
+                    (F.col("topology") == 1) & (F.col("c_type") == 2),
+                    F.col("parent_url"),
+                ).alias("album_url"),
+                F.when(
+                    ((F.col("topology") == 0) & (F.col("c_type") == 2))
+                    | ((F.col("topology") == 1) & (F.col("c_type") == 2))
+                    | ((F.col("topology") == 2) & (F.col("c_type") == 3)),
+                    F.col("c_label"),
+                ).alias("song"),
+            ],
+        }
+
     def _merge_documents(self, delta: DataFrame, wave: int, futures: list) -> None:
         """Per-wave MERGE INTO documents, merge-on-read style: the wave
         appends its delta (O(wave) commit, never O(state)); the win rule
@@ -1489,75 +1635,15 @@ class CrawlEngine:
         batch merge (resume-safe). On Iceberg this is MERGE INTO … WHEN
         MATCHED AND s.key <wins> t.key THEN UPDATE with merge-on-read
         row deltas."""
-        docs_delta = (
-            delta.withColumn(
-                "movie_val",
-                F.when(F.col("topology") == 0, F.col("movie"))
-                .when(F.col("topology") == 1, F.col("album"))
-                .otherwise(F.col("d_album")),
-            )
-            .withColumn(
-                "movie_url_val",
-                F.when(F.col("topology") == 0, F.col("movie_url"))
-                .when(F.col("topology") == 1, F.col("album_url"))
-                .otherwise(F.col("url")),  # Type2 quirk (base_crawler.py:732)
-            )
-            .withColumn(
-                "singers_val",
-                F.when(F.col("topology") == 0, F.col("d_singers"))
-                .when(F.col("topology") == 1, F.array(F.col("artist")))
-                .otherwise(
-                    F.concat(
-                        F.coalesce(F.col("d_other"), F.array().cast("array<string>")),
-                        F.array(F.col("artist")),
-                    )
-                ),
-            )
-            .withColumn(
-                "directors_val",
-                F.when(F.col("topology") == 0, F.col("d_directors")).otherwise(
-                    F.array(F.col("artist"))
-                ),
-            )
-            .withColumn(
-                "lyricists_val",
-                F.when(F.col("topology") == 1, F.array(F.col("artist"))).otherwise(
-                    F.col("d_lyricists")
-                ),
-            )
-        )
-        # P17 unescape — once, at the sink, like db_operations.py:37-42.
-        # unescape_col/unescape_arr_col (functions/textops.py) run the
-        # '&amp;'-only fast path JVM-side and null-mask the Arrow UDF
-        # input, so only strings with non-'&amp;' entity shapes pay the
-        # python boundary (the pre-fast-path stage was 458 s of JVM GC
-        # at crawl scale 40 — BENCH.md round 3).
-        docs_delta = (
-            docs_delta.withColumn("song_u", unescape_col(F.col("song")))
-            .withColumn("movie_u", unescape_col(F.col("movie_val")))
-            .withColumn("lyrics_u", unescape_col(F.col("d_lyrics")))
-            .withColumn("singers_u", unescape_arr_col(F.col("singers_val")))
-            .withColumn("directors_u", unescape_arr_col(F.col("directors_val")))
-            .withColumn("lyricists_u", unescape_arr_col(F.col("lyricists_val")))
-        )
+        withcols, sel_pre, sel_post = self._docs_sink_exprs()
+        docs_delta = delta
+        for name, c in withcols:
+            docs_delta = docs_delta.withColumn(name, c)
         docs_delta = docs_delta.select(
-            F.col("site").alias("start_url"),
-            F.col("url").alias("song_url"),
-            F.col("abs_url").alias("doc_id"),
-            "host",
-            "topology",
-            F.col("song_u").alias("song"),
-            F.col("movie_u").alias("movie"),
-            F.col("movie_url_val").alias("movie_url"),
-            "artist",
-            "dfs_key",
+            *sel_pre,
             F.lit(wave).alias("wave"),
             F.lit(self.cycle).alias("cycle"),
-            F.col("fetched_at").cast("int").alias("fetched_at"),
-            spans_expr(
-                F.col("movie_u"), F.col("singers_u"), F.col("directors_u"),
-                F.col("lyricists_u"), F.col("lyrics_u"),
-            ).alias("spans"),
+            *sel_post,
         )
         # append the delta only — the win-rule resolves at read
         # (:meth:`documents`); a wave never rewrites history. The write

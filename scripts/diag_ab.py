@@ -26,7 +26,7 @@ BASE = EXTRA.pop("base", "/tmp/lcs_ab")
 
 RUNNER = r"""
 import os, json, sys, tempfile
-os.environ["SPARK_DRIVER_MEMORY"] = "32g"
+os.environ.setdefault("SPARK_DRIVER_MEMORY", "32g")
 conf = json.loads(sys.argv[3])
 base = conf.pop("__base__")
 os.makedirs(base, exist_ok=True)
@@ -47,8 +47,11 @@ spark.stop()
 def main() -> None:
     conf = dict(EXTRA)
     conf["__base__"] = BASE
+    # LCS_AB_PIN overrides the core set (default 0..CPUS-1) so several
+    # independent runs can own disjoint sets (hardware-ceiling probes)
+    pin = os.environ.get("LCS_AB_PIN", f"0-{CPUS - 1}")
     cmd = [
-        "taskset", "-c", f"0-{CPUS - 1}", sys.executable, "-c", RUNNER,
+        "taskset", "-c", pin, sys.executable, "-c", RUNNER,
         str(CPUS), str(SCALE), json.dumps(conf),
     ]
     env = dict(os.environ, LCS_WAVE_TIMING=os.environ.get("LCS_WAVE_TIMING", "0"))
