@@ -124,6 +124,14 @@ spark = get_spark(
         "spark.cores.max": str(cores_max),
         "spark.executor.cores": "7",
         "spark.executor.memory": "20g",
+        # production-standard fixed pre-touched heaps (Xms=Xmx +
+        # AlwaysPreTouch): every heap page is faulted once at executor
+        # launch instead of continuously during the run. Measured on the
+        # 4-way independent-process control: sys 12.4 -> 5.4 cores,
+        # steal 5.8 -> 1.4 (BENCH.md "platform ceiling") — page-fault
+        # churn on this VM's shared kernel is the dominant scaling tax.
+        "spark.executor.extraJavaOptions":
+            "-XX:+UseParallelGC -Xms20g -XX:+AlwaysPreTouch",
         "spark.submit.pyFiles": zip_path,   # --py-files equivalent
         "spark.pyspark.python": sys.executable,
         **extra,
