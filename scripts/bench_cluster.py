@@ -48,6 +48,13 @@ SCALE = float(sys.argv[1]) if len(sys.argv) > 1 else 40.0
 WORK = "/tmp/lcs_cluster"
 EXEC_CORES = 7          # per-executor task slots
 DRIVER_PIN = "28-31"    # driver + master own these cores at BOTH levels
+# Per-executor heap — IDENTICAL at both levels (a real cluster's nodes
+# are homogeneous). 12g default: with Xms=Xmx + AlwaysPreTouch, the 4N
+# level's 4 heaps go fully resident at launch; 4×20g + 16g driver left
+# only ~30 GB for page cache on this 128 GB box and the second 4N run
+# measured 429 s vs 109 s (reclaim stalls against run 1's dirty
+# writeback). 4×12g + driver = 64 GB resident keeps steady headroom.
+EXEC_MEM_GB = int(os.environ.get("LCS_CLUSTER_EXEC_MEM_GB", "12"))
 
 
 def wait_workers(n: int, timeout: float = 90.0) -> None:
@@ -123,7 +130,7 @@ spark = get_spark(
     extra_conf={
         "spark.cores.max": str(cores_max),
         "spark.executor.cores": "7",
-        "spark.executor.memory": "20g",
+        "spark.executor.memory": os.environ["LCS_EXEC_MEM"],
         # production-standard fixed pre-touched heaps (Xms=Xmx +
         # AlwaysPreTouch): every heap page is faulted once at executor
         # launch instead of continuously during the run. Measured on the
@@ -131,7 +138,8 @@ spark = get_spark(
         # steal 5.8 -> 1.4 (BENCH.md "platform ceiling") — page-fault
         # churn on this VM's shared kernel is the dominant scaling tax.
         "spark.executor.extraJavaOptions":
-            "-XX:+UseParallelGC -Xms20g -XX:+AlwaysPreTouch",
+            "-XX:+UseParallelGC -Xms%s -XX:+AlwaysPreTouch"
+            % os.environ["LCS_EXEC_MEM"],
         "spark.submit.pyFiles": zip_path,   # --py-files equivalent
         "spark.pyspark.python": sys.executable,
         **extra,
@@ -177,14 +185,15 @@ def run_level(n_workers: int, zip_path: str) -> dict:
         pin = f"{EXEC_CORES * i}-{EXEC_CORES * i + EXEC_CORES - 1}"
         workers.append(spark_class(
             "org.apache.spark.deploy.worker.Worker", MASTER_URL,
-            "--cores", str(EXEC_CORES), "--memory", "22g",
+            "--cores", str(EXEC_CORES), "--memory", f"{EXEC_MEM_GB + 2}g",
             "--port", str(41000 + i), "--webui-port", str(42000 + i),
             "--work-dir", os.path.join(WORK, f"worker{i}"),
             pin=pin, log=os.path.join(WORK, f"worker{i}.log"),
         ))
     wait_workers(n_workers)
     try:
-        env = dict(os.environ, SPARK_DRIVER_MEMORY="16g")
+        env = dict(os.environ, SPARK_DRIVER_MEMORY="16g",
+                   LCS_EXEC_MEM=f"{EXEC_MEM_GB}g")
         out = subprocess.run(
             ["taskset", "-c", DRIVER_PIN,
              sys.executable, "-c", RUNNER, str(EXEC_CORES * n_workers),
@@ -251,7 +260,8 @@ driver borrows idle cores at N and fights executors at 4N, deflating
 the ratio by construction). Application code ships to executors via a
 `--py-files` zip. Each level warms JIT on a smaller crawl first (a
 long-lived cluster never pays cold-JIT costs). Shuffle partitioning
-(32) is identical at both levels.
+(32) and the per-executor heap ({EXEC_MEM_GB} GB fixed, pre-touched)
+are identical at both levels.
 
 | level | runs | best wall | URLs/s |
 |---|---|---|---|
