@@ -57,10 +57,17 @@ def run_crawl_bench(spark, scale: float):
     # LCS_BENCH_CARRY_DELTAS=K>0 commits per-wave carry deltas instead
     # of rewriting the full worklists (compaction every K waves).
     carry_k = int(os.environ.get("LCS_BENCH_CARRY_DELTAS", "0"))
+    # LCS_BENCH_PIPELINE=1 enables cross-wave pipelined commits (wave
+    # N's background writes draining behind wave N+1's foreground).
+    # Default off: measured 25-58% SLOWER at sandbox scale (BENCH.md
+    # "pipelined commits" negative result) — this box is DRAM-bound, so
+    # overlap adds contention; the flag exists for real-cluster runs.
+    pipeline = os.environ.get("LCS_BENCH_PIPELINE", "0") == "1"
     d = tempfile.mkdtemp(prefix="lcs_bench_")
     try:
         eng = CrawlEngine(
-            spark, crawl_specs(scale), d, bloom_seen=bloom, carry_deltas=carry_k
+            spark, crawl_specs(scale), d, bloom_seen=bloom,
+            carry_deltas=carry_k, pipeline_commits=pipeline,
         )
         t0 = time.time()
         eng.run(max_waves=60)

@@ -177,6 +177,7 @@ class CrawlEngine:
         bloom_m_bits: int = 1 << 20,
         bloom_k: int = 4,
         carry_deltas: int = 0,
+        pipeline_commits: bool = False,
     ):
         """``bloom_seen`` enables the partitioned bloom URL-seen
         pre-filter (operators/urlseen.py) on the kid probe: newly
@@ -195,10 +196,37 @@ class CrawlEngine:
         to a full base every K waves — O(wave) commit with O(state/K)
         amortized compaction, the Iceberg-MERGE-target shape. K=0
         (default) rewrites the full carry every wave: strictly less
-        read-side work, the right trade at sandbox scale (BENCH.md)."""
+        read-side work, the right trade at sandbox scale (BENCH.md).
+
+        ``pipeline_commits`` lets wave N's background writes (documents
+        deltas, metrics, resolved log, carry snapshots) drain WHILE wave
+        N+1's foreground runs: the wave stays staged-but-uncommitted
+        ("inflight") until the next wave's body ends, at which point it
+        is gathered and its manifest committed — commits stay strictly
+        wave-ordered, so the resume contract (replay from the last
+        committed manifest; later snapshot dirs are invisible orphans)
+        is unchanged. Wave N+1 reads N's uncommitted state through an
+        explicit overlay: fetch_log/frontier snapshots staged
+        synchronously in N's foreground, and each carry table by
+        waiting on exactly its own write future at the point the table
+        is first needed (pending at J1, unresolved at J2, leaf_unsaved
+        at the leaf stage). Default OFF: measured at sandbox scale the
+        overlap LOSES (scale 40 / 32 cores: 258.5s on vs 163.7s off;
+        scale 8: +25% even under a FAIR scheduler) — this box is
+        DRAM/allocation-bound (BENCH.md "platform ceiling"), so running
+        two waves' work concurrently adds contention, not throughput,
+        and the foreground fetch stage starves behind the previous
+        wave's write jobs (FIFO) or halves its share (FAIR). The design
+        point where it pays is a real cluster whose executors idle
+        during the driver's per-wave serial phase — flip it there;
+        results are bit-identical either way (golden-tested)."""
         self.spark = spark
         self.bloom_seen = bloom_seen
         self.carry_deltas = carry_deltas
+        self.pipeline_commits = pipeline_commits
+        # the staged-but-uncommitted previous wave (pipeline_commits):
+        # {"wave", "staged", "bg", "stats", "persisted", "carry_futures"}
+        self._inflight: dict | None = None
         self._bloom_params = {
             "num_partitions": bloom_partitions,
             "m_bits": bloom_m_bits,
@@ -251,8 +279,13 @@ class CrawlEngine:
             # here so only fetch-select and resolve+fan-out stay on the
             # wave's critical path (per-wave serial job latency is the
             # scaling-efficiency cap — BENCH.md).
+            # sized for TWO waves of writes in flight (pipeline_commits
+            # lets wave N's writes drain behind wave N+1's foreground,
+            # which submits its own): a queued-up carry write would
+            # serialize the next wave's foreground, which blocks on
+            # exactly that future. Threads here only block on py4j.
             self._pool = ThreadPoolExecutor(
-                max_workers=5, thread_name_prefix="lcs-wave-bg"
+                max_workers=12, thread_name_prefix="lcs-wave-bg"
             )
         return self._pool
 
@@ -294,8 +327,48 @@ class CrawlEngine:
 
         futures.append(self._bg_pool().submit(job))
 
+    def _finalize_inflight(self) -> None:
+        """Gather the inflight wave's background writes and publish its
+        manifest commit (pipeline_commits). Runs at the end of the NEXT
+        wave's body — the writes drained behind that wave's foreground —
+        and from :meth:`run`'s ``finally`` so the store is fully
+        committed whenever control returns to the caller. Commits stay
+        strictly wave-ordered (the resume contract). A failed background
+        write aborts the commit; its staged dirs are invisible orphans,
+        exactly like a failed foreground wave."""
+        fl, self._inflight = self._inflight, None
+        if fl is None:
+            return
+        try:
+            for f in fl["bg"]:
+                entry, _n = f.result()
+                if entry:
+                    fl["staged"].append(entry)
+            self.store.commit_wave(fl["wave"], fl["staged"], fl["stats"])
+        finally:
+            for df in fl["persisted"]:
+                df.unpersist()
+
+    def _carry_paths(self, table: str) -> list[str]:
+        """Snapshot paths for a carry table: committed manifest state
+        overlaid with the inflight wave's staged write. Waits on exactly
+        that table's write future — the carry IS this wave's input, but
+        the other background writes keep draining."""
+        paths = list(self.store.read_manifest()["tables"].get(table, []))
+        fl = self._inflight
+        if fl is not None:
+            fut = fl["carry_futures"].get(table)
+            if fut is not None:
+                entry, _n = fut.result()
+                if entry is not None:
+                    if entry["mode"] == "replace":
+                        paths = [entry["path"]]
+                    else:
+                        paths.append(entry["path"])
+        return paths
+
     def _read_carry(self, table: str, schema: str) -> DataFrame:
-        paths = self.store.read_manifest()["tables"].get(table, [])
+        paths = self._carry_paths(table)
         if not paths:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.schema(schema).parquet(*paths)
@@ -334,7 +407,7 @@ class CrawlEngine:
         prefix's exact state: the resume contract), tombstones dropped.
         Single-snapshot reads (replace mode / right after compaction)
         skip the resolve entirely."""
-        paths = self.store.read_manifest()["tables"].get(table, [])
+        paths = self._carry_paths(table)
         if not paths:
             return self.spark.createDataFrame([], schema)
         df = self.spark.read.schema(schema + _CARRY_FRAME).parquet(*paths)
@@ -424,10 +497,18 @@ class CrawlEngine:
     # ---------------- table access ----------------
 
     def _read(self, table: str, schema: str) -> DataFrame:
-        df = self.store.read(table)
-        if df is None:
+        paths = list(self.store.read_manifest()["tables"].get(table, []))
+        fl = self._inflight
+        if fl is not None:
+            # overlay the inflight wave's synchronously-staged append
+            # snapshots (fetch_log / frontier — written in its
+            # foreground, so no future wait): the next wave's history
+            # reads (URL-seen probe, child settlement, parse lookups)
+            # must see them exactly as they would after a commit.
+            paths += [e["path"] for e in fl["staged"] if e["table"] == table]
+        if not paths:
             return self.spark.createDataFrame([], schema)
-        return df
+        return self.spark.read.schema(schema).parquet(*paths)
 
     def _cycle_scope(self, df: DataFrame, current_cycle_only: bool) -> DataFrame:
         # crawl state (settlement, retries, parses) is per-cycle — the
@@ -572,6 +653,9 @@ class CrawlEngine:
     # ---------------- seeding (wave 0) ----------------
 
     def _seed_cycle(self, cycle: int, wave: int) -> None:
+        # the seed commit must not publish ahead of an earlier wave's
+        # (commits are strictly wave-ordered — the resume contract)
+        self._finalize_inflight()
         rows = []
         for spec in self.specs:
             graph = SiteGraph(spec)
@@ -662,11 +746,17 @@ class CrawlEngine:
             self._seed_cycle(0, 0)
         wave = self.store.last_wave()
         waves_done = 0
-        while max_waves is None or waves_done < max_waves:
-            if not self._run_wave(wave + 1):
-                break
-            wave += 1
-            waves_done += 1
+        try:
+            while max_waves is None or waves_done < max_waves:
+                if not self._run_wave(wave + 1):
+                    break
+                wave += 1
+                waves_done += 1
+        finally:
+            # publish the last inflight wave before control returns:
+            # callers (accessors, resume, the next run()) see only
+            # fully-committed store state.
+            self._finalize_inflight()
         return wave
 
     def run_cycle(
@@ -725,6 +815,7 @@ class CrawlEngine:
         dim = F.broadcast(self.site_dim)
         staged: list[dict] = []
         bg: list = []
+        carry_futures: dict = {}  # table -> its write future (overlay reads)
         t0 = time.time()
         _t = time.time()
 
@@ -824,6 +915,7 @@ class CrawlEngine:
                     "url_bloom", bloom_merge(prev_bits.unionByName(delta_bits)),
                     wave, bg,
                 )
+                carry_futures["url_bloom"] = bg[-1]
             _t = _tick('metrics-submit', _t)
 
         # cross-cycle documents state (exists_song / number_of_songs,
@@ -1136,6 +1228,7 @@ class CrawlEngine:
             wave,
             bg,
         )
+        carry_futures["pending"] = bg[-1]
         # URLs whose error budget exhausted THIS wave: purge their
         # occurrences from the unresolved / leaf_unsaved carries (they
         # can never resolve or save; trace derives their dead actions
@@ -1266,6 +1359,7 @@ class CrawlEngine:
         else:
             unres_delta = None
         self._stage_carry_bg("unresolved", unres_next, unres_delta, wave, bg)
+        carry_futures["unresolved"] = bg[-1]
 
         # ---- documents MERGE (O1) + leaf_unsaved' (background) ----
         # delta = leaf occurrences saved exactly once: waiting occurrences
@@ -1356,24 +1450,39 @@ class CrawlEngine:
         else:
             lu_delta = None
         self._stage_carry_bg("leaf_unsaved", lu_next, lu_delta, wave, bg)
+        carry_futures["leaf_unsaved"] = bg[-1]
         _t = _tick('carries-submit', _t)
 
-        for f in bg:
-            entry, _n = f.result()
-            if entry:
-                staged.append(entry)
-        _t = _tick('bg-gather', _t)
-
-        self.store.commit_wave(
-            wave,
-            staged,
-            {
-                "fetched": n_fetched,
-                "resolved": n_resolved,
-                "kids": n_kids,
-                "wall_s": round(time.time() - t0, 3),
-            },
-        )
+        stats = {
+            "fetched": n_fetched,
+            "resolved": n_resolved,
+            "kids": n_kids,
+            "wall_s": round(time.time() - t0, 3),
+        }
+        if self.pipeline_commits:
+            # drain + commit the PREVIOUS wave (its background writes
+            # overlapped this whole wave's foreground), then leave this
+            # wave inflight; the next wave (or run()'s finally) commits
+            # it. Ownership of the persisted blocks moves to the
+            # inflight record so they survive until its writes finish.
+            self._finalize_inflight()
+            _t = _tick('prev-gather', _t)
+            self._inflight = {
+                "wave": wave,
+                "staged": staged,
+                "bg": bg,
+                "stats": stats,
+                "persisted": list(persisted),
+                "carry_futures": carry_futures,
+            }
+            persisted.clear()
+        else:
+            for f in bg:
+                entry, _n = f.result()
+                if entry:
+                    staged.append(entry)
+            _t = _tick('bg-gather', _t)
+            self.store.commit_wave(wave, staged, stats)
         return True
 
     # ---------------- documents sink ----------------

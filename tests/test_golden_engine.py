@@ -40,6 +40,19 @@ def test_type2_metrolyrics(spark, tmp_store):
     assert_golden(spark, [spec], tmp_store)
 
 
+def test_pipelined_commits_golden(spark, tmp_store):
+    """pipeline_commits=True (wave N's background writes drain behind
+    wave N+1's foreground; manifest commits stay wave-ordered) must be
+    bit-identical to the serial default — same trace, seen set, spans.
+    The flag is off by default at sandbox scale (measured slower here —
+    BENCH.md 'pipelined commits'), but the overlay read path has to
+    stay correct for the real-cluster regime it exists for."""
+    spec = SiteSpec("hindilyrics", "http://h.example", seed=7, n_seeds=3,
+                    branch1=3, branch2=3, error_rate=0.2, dup_link_rate=0.5,
+                    empty_movie_rate=0.3, max_err=3)
+    assert_golden(spark, [spec], tmp_store, pipeline_commits=True)
+
+
 def test_all_five_sites_with_robots(spark, tmp_store):
     """The full fixture: five sites in ONE frontier (multi-host
     partitioning), robots rules, dups, errors, empty movies."""

@@ -43,6 +43,30 @@ def test_kill_resume_byte_identical(spark, tmp_store):
     assert _collect_state(eng_full) == _collect_state(eng_resumed)
 
 
+def test_kill_resume_pipelined_commits(spark, tmp_store):
+    """Same kill/resume contract with pipeline_commits=True: the
+    inflight wave's commit is published by run()'s finally, so a
+    max_waves 'kill' leaves a fully committed manifest; a fresh serial
+    engine resuming that store converges to the uninterrupted state
+    (overlay writes are invisible orphans unless committed)."""
+    spec = SiteSpec("hindilyrics", "http://h.example", seed=21, n_seeds=2,
+                    branch1=3, branch2=2, error_rate=0.2, dup_link_rate=0.4,
+                    empty_movie_rate=0.2, max_err=3)
+    eng_full = CrawlEngine(spark, [spec], tmp_store + "/full")
+    eng_full.run()
+
+    part_dir = tmp_store + "/part"
+    eng_part = CrawlEngine(spark, [spec], part_dir, pipeline_commits=True)
+    eng_part.run(max_waves=3)
+    assert eng_part.store.last_wave() >= 2
+    # resume with the serial default — modes must interoperate on the
+    # same store (the manifest is the only contract between them)
+    eng_resumed = CrawlEngine(spark, [spec], part_dir)
+    eng_resumed.run()
+
+    assert _collect_state(eng_full) == _collect_state(eng_resumed)
+
+
 def test_politeness_budget_caps_wave_fetches(spark, tmp_store):
     """A politeness budget of 2 never fetches more than 2 URLs of that
     host per wave, and the crawl still completes with an identical golden
