@@ -24,8 +24,10 @@ from lyrics_crawler_spark.functions.hashing import duckdb_hash64
 from lyrics_crawler_spark.functions.textanalysis import (
     EN_STOPWORDS,
     fingerprint,
+    repetition_ratio,
     text_features,
 )
+from lyrics_crawler_spark.operators.clusters import dedup_clusters as cluster_assign
 from lyrics_crawler_spark.operators.similarity import (
     ann_lsh_topk,
     brute_force_topk,
@@ -241,6 +243,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["dedup_lsh_verified"] = dedup_lsh_verified
+
+    def dedup_clusters(spark, sf):  # pairs → connected components → keeper
+        d = _t(spark, sf, "documents")
+        return cluster_assign(lsh_candidate_pairs(d, max_id=200))
+
+    q["dedup_clusters"] = dedup_clusters
+
+    def repetition(spark, sf):  # Gopher-style duplicate-shingle fraction
+        return repetition_ratio(_t(spark, sf, "documents"))
+
+    q["repetition"] = repetition
 
     def fingerprints(spark, sf):
         return fingerprint(_t(spark, sf, "documents").where("doc_id < 200"))
@@ -673,6 +686,68 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE FLOOR(1000 * n_inter / (sa.n_sh + sb.n_sh - n_inter)) >= 300
+        """,
+        # LSH pairs → transitive closure (recursive CTE twin of the
+        # Spark min-label propagation) → min-id component + keeper flag
+        "dedup_clusters": _dd_shingles_cte("WHERE doc_id < 200").replace(
+            "WITH t AS", "WITH RECURSIVE t AS", 1
+        )
+        + f""",
+        hh AS (SELECT doc_id, {h} % 1073741824 AS h FROM s),
+        sigs AS (SELECT doc_id, {mh_terms} FROM hh GROUP BY doc_id),
+        bands AS (
+          SELECT doc_id, 0 AS band,
+                 CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR) AS sig FROM sigs
+          UNION ALL SELECT doc_id, 1,
+                 CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR) FROM sigs
+          UNION ALL SELECT doc_id, 2,
+                 CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR) FROM sigs
+          UNION ALL SELECT doc_id, 3,
+                 CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR) FROM sigs
+        ),
+        p AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a
+          JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        e AS (
+          SELECT id_a AS src, id_b AS dst FROM p
+          UNION
+          SELECT id_b, id_a FROM p
+        ),
+        reach AS (
+          SELECT src, dst FROM e
+          UNION
+          SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src
+        ),
+        comp AS (
+          SELECT src AS id, LEAST(src, MIN(dst)) AS component
+          FROM reach GROUP BY src
+        )
+        SELECT c.id AS doc_id, c.component, s.n_members,
+               CAST(c.id = c.component AS BIGINT) AS is_keeper
+        FROM comp c
+        JOIN (SELECT component, COUNT(*) AS n_members FROM comp GROUP BY 1) s
+          ON s.component = c.component
+        """,
+        "repetition": f"""
+            WITH t AS (
+              SELECT doc_id, {_dd_tokens('text')} AS toks FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     list_transform(
+                       range(1, CASE WHEN len(toks) >= 3
+                                     THEN len(toks) - 2 ELSE 0 END + 1),
+                       i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) AS shl
+              FROM t
+            )
+            SELECT doc_id,
+                   CAST(len(shl) AS BIGINT) AS n_shingles,
+                   CAST(len(list_distinct(shl)) AS BIGINT) AS n_distinct,
+                   CAST(FLOOR(1000 * (len(shl) - len(list_distinct(shl)))
+                        / GREATEST(len(shl), 1)) AS BIGINT) AS rep_m
+            FROM sh
         """,
         "fingerprints": """
             SELECT doc_id,

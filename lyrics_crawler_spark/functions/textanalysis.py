@@ -70,6 +70,32 @@ def text_features(docs: DataFrame, text_col: str = "text", key_col: str = "doc_i
     )
 
 
+def repetition_ratio(
+    docs: DataFrame, text_col: str = "text", key_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Within-document repetition (Gopher-style quality rule: "fraction
+    of duplicate n-grams"): 1 − distinct/total over word n-gram
+    shingles, in integer thousandths. High values flag boilerplate,
+    chorus-looping, and template spam — the single strongest in-document
+    text-quality signal for training-data filtering. Pure Catalyst
+    (array ops on the shingle expression shared with the dedup family);
+    docs too short for one shingle report 0 repetition over 0 shingles."""
+    from lyrics_crawler_spark.operators.textdedup import shingles_expr
+
+    sh = shingles_expr(text_col, n)
+    return docs.selectExpr(
+        key_col,
+        f"cast(size({sh}) as bigint) as n_shingles",
+        f"cast(size(array_distinct({sh})) as bigint) as n_distinct",
+    ).selectExpr(
+        key_col,
+        "n_shingles",
+        "n_distinct",
+        "cast(floor(1000 * (n_shingles - n_distinct) / greatest(n_shingles, 1L)) "
+        "as bigint) as rep_m",
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
     """Normalized-content fingerprint: md5 of lowercase, whitespace-
     collapsed text (portable to any engine with md5)."""
