@@ -63,11 +63,16 @@ def run_crawl_bench(spark, scale: float):
     # "pipelined commits" negative result) — this box is DRAM-bound, so
     # overlap adds contention; the flag exists for real-cluster runs.
     pipeline = os.environ.get("LCS_BENCH_PIPELINE", "0") == "1"
+    # LCS_BENCH_DISABLE_AQE=1 turns AQE off inside the wave loop.
+    # Measured: no effect beyond machine noise (BENCH.md ABBA protocol);
+    # default keeps AQE on like every other Spark job.
+    aqe_off = os.environ.get("LCS_BENCH_DISABLE_AQE", "0") == "1"
     d = tempfile.mkdtemp(prefix="lcs_bench_")
     try:
         eng = CrawlEngine(
             spark, crawl_specs(scale), d, bloom_seen=bloom,
             carry_deltas=carry_k, pipeline_commits=pipeline,
+            disable_aqe=aqe_off,
         )
         t0 = time.time()
         eng.run(max_waves=60)

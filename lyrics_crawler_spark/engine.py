@@ -178,6 +178,7 @@ class CrawlEngine:
         bloom_k: int = 4,
         carry_deltas: int = 0,
         pipeline_commits: bool = False,
+        disable_aqe: bool = False,
     ):
         """``bloom_seen`` enables the partitioned bloom URL-seen
         pre-filter (operators/urlseen.py) on the kid probe: newly
@@ -219,11 +220,27 @@ class CrawlEngine:
         wave's write jobs (FIFO) or halves its share (FAIR). The design
         point where it pays is a real cluster whose executors idle
         during the driver's per-wave serial phase — flip it there;
-        results are bit-identical either way (golden-tested)."""
+        results are bit-identical either way (golden-tested).
+
+        ``disable_aqe`` turns adaptive query execution OFF for the
+        duration of :meth:`run` (session conf toggled and restored, so
+        relational queries sharing the session keep AQE). Hypothesis:
+        the wave loop's plans are fully shaped by hand — every
+        dimension join explicitly broadcast, shuffle width pinned — so
+        AQE's re-planning contributes only per-stage barriers on the
+        per-wave serial term. Measured verdict: NO effect
+        distinguishable from machine noise (order-balanced ABBA at
+        scale 40 / 32 cores: off 187.0/208.8 s vs on 208.7/200.1 s;
+        two earlier single pairs "showed" ±40% in OPPOSITE directions —
+        window drift, see BENCH.md "measurement protocol"). Default
+        off (AQE stays on). The engine does not rely on AQE for
+        correctness anywhere: the fetch stage pre-salts by URL hash,
+        and golden tests pass with either setting."""
         self.spark = spark
         self.bloom_seen = bloom_seen
         self.carry_deltas = carry_deltas
         self.pipeline_commits = pipeline_commits
+        self.disable_aqe = disable_aqe
         # the staged-but-uncommitted previous wave (pipeline_commits):
         # {"wave", "staged", "bg", "stats", "persisted", "carry_futures"}
         self._inflight: dict | None = None
@@ -746,6 +763,13 @@ class CrawlEngine:
             self._seed_cycle(0, 0)
         wave = self.store.last_wave()
         waves_done = 0
+        # AQE off for the wave loop only (see __init__ docstring): the
+        # conf is session-scoped and runtime-togglable, so restore it
+        # for whatever relational work shares this session.
+        aqe_key = "spark.sql.adaptive.enabled"
+        aqe_prev = self.spark.conf.get(aqe_key, "true")
+        if self.disable_aqe:
+            self.spark.conf.set(aqe_key, "false")
         try:
             while max_waves is None or waves_done < max_waves:
                 if not self._run_wave(wave + 1):
@@ -757,6 +781,8 @@ class CrawlEngine:
             # callers (accessors, resume, the next run()) see only
             # fully-committed store state.
             self._finalize_inflight()
+            if self.disable_aqe:
+                self.spark.conf.set(aqe_key, aqe_prev)
         return wave
 
     def run_cycle(
