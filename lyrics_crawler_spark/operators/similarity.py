@@ -109,17 +109,23 @@ def cosine_neardup_pairs(
         pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
     else:
         dim = _infer_dim(scope, vec_col)
-        keys = None
-        for t in range(n_tables):
-            bk = lsh_ann_buckets(scope, n_planes, vec_col, key_col,
-                                 dim=dim, table=t)
-            p = (
-                bk.select(F.col(key_col).alias("id_a"), "bucket")
-                .join(bk.select(F.col(key_col).alias("id_b"), "bucket"), "bucket")
-                .where(F.col("id_a") < F.col("id_b"))
-                .select("id_a", "id_b")
+        # all L tables' buckets in ONE pass over the corpus (posexplode)
+        # and ONE (table, bucket) equi-join — set-identical to L
+        # per-table joins unioned, but the plan scans the source once
+        # per side instead of L times (PLANS.md showed 2L+2 scans for
+        # the loop-of-unions spelling; disqualifying at 100 TB).
+        bk = lsh_ann_buckets_multi(
+            scope, n_planes, n_tables, vec_col, key_col, dim=dim
+        )
+        keys = (
+            bk.select(F.col(key_col).alias("id_a"), "table", "bucket")
+            .join(
+                bk.select(F.col(key_col).alias("id_b"), "table", "bucket"),
+                ["table", "bucket"],
             )
-            keys = p if keys is None else keys.unionByName(p)
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
         # slim-pair dedup across tables, then join the vectors back
         pairs = (
             keys.distinct()
@@ -174,19 +180,19 @@ def ann_lsh_topk(
     if dim is None:
         dim = _infer_dim(scope, vec_col)
     z = quantized(scope, vec_col, key_col)
-    cand = None
-    for t in range(n_tables):
-        bk = lsh_ann_buckets(scope, n_planes, vec_col, key_col, dim=dim, table=t)
-        qa = bk.where(F.col(key_col) < queries_max_id).select(
-            F.col(key_col).alias("query_id"), "bucket"
-        )
-        ca = bk.select(F.col(key_col).alias("neighbor_id"), "bucket")
-        p = (
-            qa.join(ca, "bucket")
-            .where(F.col("query_id") != F.col("neighbor_id"))
-            .select("query_id", "neighbor_id")
-        )
-        cand = p if cand is None else cand.unionByName(p)
+    # all L tables' buckets in ONE corpus pass (posexplode) + ONE
+    # (table, bucket) equi-join — same candidate set as L per-table
+    # joins unioned, one scan per side instead of L (see PLANS.md note)
+    bk = lsh_ann_buckets_multi(scope, n_planes, n_tables, vec_col, key_col, dim=dim)
+    qa = bk.where(F.col(key_col) < queries_max_id).select(
+        F.col(key_col).alias("query_id"), "table", "bucket"
+    )
+    ca = bk.select(F.col(key_col).alias("neighbor_id"), "table", "bucket")
+    cand = (
+        qa.join(ca, ["table", "bucket"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
     # dedup across tables on the slim id pair, THEN join the vectors
     # back for the exact rerank — arrays never ride through the distinct.
     scored = (
@@ -261,6 +267,12 @@ def lsh_ann_buckets(
     if dim is None:
         dim = _infer_dim(df, vec_col)
     q = quantized(df, vec_col, key_col)
+    return q.select(
+        key_col, F.expr(_bucket_expr(n_planes, dim, table)).alias("bucket")
+    )
+
+
+def _bucket_expr(n_planes: int, dim: int, table: int) -> str:
     bits = []
     for signs in plane_signs(n_planes, dim, table):
         arr = ",".join(str(s) for s in signs)
@@ -268,4 +280,26 @@ def lsh_ann_buckets(
             f"case when aggregate(zip_with(q, array({arr}), (x, s) -> x * s), "
             f"cast(0 as bigint), (acc, x) -> acc + x) >= 0 then '1' else '0' end"
         )
-    return q.select(key_col, F.expr(f"concat({', '.join(bits)})").alias("bucket"))
+    return f"concat({', '.join(bits)})"
+
+
+def lsh_ann_buckets_multi(
+    df: DataFrame, n_planes: int, n_tables: int,
+    vec_col: str = "embedding", key_col: str = "vec_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """All ``n_tables`` independent bucket ids in ONE pass:
+    ``(key, table, bucket)`` via an array of the L bucket expressions +
+    posexplode. Multi-table candidate generation then needs a single
+    equi-join on ``(table, bucket)`` — the loop-of-unions alternative
+    plans one source scan per table per side (2L+2 scans at L tables,
+    visible in PLANS.md), which a 100 TB corpus cannot pay. Row volume
+    is the same (n·L short strings); the quantized vector is projected
+    away before the explode."""
+    if dim is None:
+        dim = _infer_dim(df, vec_col)
+    q = quantized(df, vec_col, key_col)
+    exprs = [F.expr(_bucket_expr(n_planes, dim, t)) for t in range(n_tables)]
+    return q.select(
+        key_col, F.posexplode(F.array(*exprs)).alias("table", "bucket")
+    )
