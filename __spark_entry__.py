@@ -29,6 +29,7 @@ from lyrics_crawler_spark.functions.textanalysis import (
 )
 from lyrics_crawler_spark.operators.clusters import dedup_clusters as cluster_assign
 from lyrics_crawler_spark.operators.similarity import (
+    ann_ivf_topk,
     ann_lsh_topk,
     brute_force_topk,
     cosine_neardup_pairs,
@@ -276,6 +277,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_lsh"] = ann_lsh
 
+    def ann_ivf(spark, sf):  # IVF-flat ANN: the partition-pruning scale path
+        e = _t(spark, sf, "embeddings")
+        return ann_ivf_topk(
+            e, queries_max_id=10, corpus_max_id=300, k=5,
+            centroid_mod=16, n_probe=4,
+        )
+
+    q["ann_ivf"] = ann_ivf
+
     def embedding_neardup(spark, sf):  # cosine near-dup pairs (exact, capped)
         e = _t(spark, sf, "embeddings")
         return cosine_neardup_pairs(e, max_id=300, threshold_m=400, exact=True)
@@ -498,6 +508,68 @@ def _dd_neardup_lsh_sql(
         FROM scored
         WHERE FLOOR(1000.0 * CAST(dot AS DOUBLE)
               / SQRT(CAST(na2 * nb2 AS DOUBLE))) >= {threshold_m}
+    """
+
+
+def _dd_ann_ivf_sql(
+    queries_max_id: int, corpus_max_id: int, k: int,
+    centroid_mod: int, n_probe: int, dim: int = 64,
+) -> str:
+    """DuckDB twin of ann_ivf_topk: identical hash-sampled centroid set,
+    identical nearest-centroid assignment (same integer score + tie
+    rule), identical probe + exact in-list rerank."""
+    h = duckdb_hash64("cast(vec_id as varchar)")
+    return f"""
+        WITH qz AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
+          FROM embeddings WHERE vec_id < {corpus_max_id}
+        ), nz AS (
+          SELECT vec_id, q,
+                 CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS norm2
+          FROM qz
+        ), cents AS (
+          SELECT vec_id AS centroid_id, q AS cvec, norm2 AS cn2
+          FROM nz WHERE {h} % {centroid_mod} = 0
+        ), nassign AS (
+          SELECT n.vec_id, c.centroid_id,
+                 CAST(list_sum(list_transform(range(1, {dim + 1}),
+                      i -> n.q[i] * c.cvec[i])) AS BIGINT) AS cdot,
+                 c.cn2
+          FROM nz n, cents c
+        ), nranked AS (
+          SELECT vec_id, centroid_id,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY CAST(cdot * ABS(cdot) AS DOUBLE) / cn2 DESC,
+                            centroid_id ASC) AS r
+          FROM nassign
+        ), lists AS (
+          SELECT vec_id AS neighbor_id, centroid_id AS list_id
+          FROM nranked WHERE r = 1
+        ), probes AS (
+          SELECT vec_id AS query_id, centroid_id AS list_id
+          FROM nranked WHERE r <= {n_probe} AND vec_id < {queries_max_id}
+        ), cand AS (
+          SELECT p.query_id, l.neighbor_id
+          FROM probes p JOIN lists l ON p.list_id = l.list_id
+          WHERE p.query_id <> l.neighbor_id
+        ), scored AS (
+          SELECT c.query_id, c.neighbor_id,
+                 CAST(list_sum(list_transform(range(1, {dim + 1}),
+                      i -> a.q[i] * b.q[i])) AS BIGINT) AS dot,
+                 b.norm2 AS cn
+          FROM cand c
+          JOIN nz a ON a.vec_id = c.query_id
+          JOIN nz b ON b.vec_id = c.neighbor_id
+        ), ranked AS (
+          SELECT query_id, neighbor_id, dot,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY CAST(dot * ABS(dot) AS DOUBLE) / cn DESC,
+                            neighbor_id ASC) AS rank
+          FROM scored
+        )
+        SELECT query_id, neighbor_id, rank, dot FROM ranked WHERE rank <= {k}
     """
 
 
@@ -781,6 +853,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, rank, dot FROM ranked WHERE rank <= 5
         """,
         "ann_lsh": _dd_ann_lsh_sql(10, 300, 5, n_planes=4, n_tables=16),
+        "ann_ivf": _dd_ann_ivf_sql(10, 300, 5, centroid_mod=16, n_probe=4),
         "embedding_neardup": """
             WITH qz AS (
               SELECT vec_id,

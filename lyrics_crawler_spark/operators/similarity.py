@@ -230,6 +230,107 @@ def ann_lsh_topk(
     )
 
 
+def ann_ivf_topk(
+    df: DataFrame, queries_max_id: int, corpus_max_id: int, k: int = 5,
+    centroid_mod: int = 16, n_probe: int = 4,
+    vec_col: str = "embedding", key_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-flat approximate top-k — the second scale path next to LSH
+    (SURVEY §2.11: "an IVF or LSH-bucketed variant").
+
+    Index: centroids are the corpus vectors whose portable 60-bit id
+    hash ≡ 0 (mod ``centroid_mod``) — a deterministic ~n/mod sample
+    needing no global sort and no iterative k-means (both engines pick
+    the identical set, which is what makes the operator oracle-checkable;
+    on a real deployment the centroid set would come from a sampled
+    k-means job and be written once). Every corpus vector is assigned to
+    its nearest centroid (broadcast centroid join + per-vector rank-1
+    window) = its inverted list.
+
+    Search: a query scores the centroid table (broadcast again), probes
+    its ``n_probe`` nearest lists, and reranks exactly inside them.
+    Candidates ≈ n·P/K per query vs n for brute force; the corpus scan
+    partitions by list id, so at 100 TB the lists are bucketed files and
+    a probe prunes partitions instead of filtering rows.
+
+    Scoring reuses the engine-portable integer trick (see
+    :func:`brute_force_topk`): per-row score = dot·|dot|/|c|² preserves
+    cosine order for a fixed left vector; ties break on the smaller id."""
+    from pyspark.sql import Window
+
+    from lyrics_crawler_spark.functions.hashing import spark_hash64
+
+    corpus = df.where(F.col(key_col) < corpus_max_id)
+    z = quantized(corpus, vec_col, key_col)
+    cents = z.where(
+        F.expr(spark_hash64(f"cast({key_col} as string)")) % centroid_mod == 0
+    ).select(
+        F.col(key_col).alias("centroid_id"),
+        F.col("q").alias("cvec"),
+        F.col("norm2").alias("cn2"),
+    )
+
+    def nearest(side: DataFrame, id_out: str, rank_cap: int):
+        scored = side.crossJoin(F.broadcast(cents)).withColumn(
+            "cdot",
+            F.expr(
+                "aggregate(zip_with(q, cvec, (a, b) -> a * b), "
+                "cast(0 as bigint), (acc, x) -> acc + x)"
+            ),
+        ).withColumn(
+            "cscore",
+            (F.col("cdot") * F.abs(F.col("cdot"))).cast("double") / F.col("cn2"),
+        )
+        w = Window.partitionBy(id_out).orderBy(
+            F.desc("cscore"), F.asc("centroid_id")
+        )
+        return (
+            scored.withColumn("crank", F.row_number().over(w))
+            .where(F.col("crank") <= rank_cap)
+            .select(id_out, "centroid_id", "q", "norm2")
+        )
+
+    lists = nearest(
+        z.withColumnRenamed(key_col, "neighbor_id"), "neighbor_id", 1
+    ).withColumnRenamed("centroid_id", "list_id")
+    probes = nearest(
+        z.where(F.col(key_col) < queries_max_id).withColumnRenamed(
+            key_col, "query_id"
+        ),
+        "query_id",
+        n_probe,
+    ).withColumnRenamed("centroid_id", "list_id")
+
+    scored = (
+        probes.select("query_id", "list_id", F.col("q").alias("qv"))
+        .join(
+            lists.select(
+                "neighbor_id", "list_id", F.col("q").alias("cv"),
+                F.col("norm2").alias("cn"),
+            ),
+            "list_id",
+        )
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "dot",
+            F.expr(
+                "aggregate(zip_with(qv, cv, (a, b) -> a * b), "
+                "cast(0 as bigint), (acc, x) -> acc + x)"
+            ),
+        )
+        .withColumn(
+            "score",
+            (F.col("dot") * F.abs(F.col("dot"))).cast("double") / F.col("cn"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "dot")
+    )
+
+
 def plane_signs(n_planes: int, dim: int, table: int = 0) -> list[list[int]]:
     """Deterministic ±1 sign matrix for sign-random-projection planes,
     one independent matrix per LSH table. Bits come from blake2b of the
