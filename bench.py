@@ -118,9 +118,9 @@ def main():
     qs = entry_mod.queries()
     headline = [
         "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_jaccard",
-        "dedup_lsh_pairs", "explode_tokens", "cosine_topk", "ann_lsh",
-        "embedding_neardup", "langid", "quality",
-        "token_stats", "topk_per_type", "anti_join_unseen",
+        "dedup_lsh_pairs", "dedup_clusters", "explode_tokens", "cosine_topk",
+        "ann_lsh", "ann_ivf", "embedding_neardup", "langid", "quality",
+        "repetition", "token_stats", "topk_per_type", "anti_join_unseen",
         "upsert_last_wins", "fingerprints",
     ]
     times = {}
@@ -140,8 +140,9 @@ def main():
 
     out = {
         "metric": (
-            "headline suite wall time (13 relational/dedup/similarity queries "
-            "at sf + full synthetic crawl to frontier exhaustion)"
+            f"headline suite wall time ({len(headline)} relational/dedup/"
+            "similarity queries at sf + full synthetic crawl to frontier "
+            "exhaustion)"
         ),
         "value": round(total, 2),
         "unit": "sec",
