@@ -80,6 +80,20 @@ def main() -> None:
             f"| {n_cand:,} ({n_cand / all_pairs:.1%}) | {dt:.1f}s |"
         )
 
+    # IVF-flat variant (T18): hash-sampled centroids, nearest-centroid
+    # inverted lists, n_probe lists per query (BENCH.md §ANN recall)
+    from lyrics_crawler_spark.operators.similarity import ann_ivf_topk
+
+    print("\n| centroid_mod | n_probe | IVF recall@5 | wall |")
+    print("|---|---|---|---|")
+    for mod, probe in [(32, 4), (32, 8), (64, 8), (64, 16)]:
+        t0 = time.time()
+        approx = ann_ivf_topk(
+            emb, N_QUERIES, corpus_max, k=K, centroid_mod=mod, n_probe=probe
+        ).select("query_id", "neighbor_id")
+        hit = truth.join(approx, ["query_id", "neighbor_id"], "left_semi").count()
+        print(f"| {mod} | {probe} | {hit / n_truth:.3f} | {time.time() - t0:.1f}s |")
+
     # near-dup recall at the entry query's threshold (cos >= 0.4 — this
     # synthetic corpus has no pairs above ~0.6, see BENCH.md)
     exact_pairs = cosine_neardup_pairs(
