@@ -297,7 +297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # threshold: measured pair recall 0.988 at sf0.1 (BENCH.md)
         e = _t(spark, sf, "embeddings")
         return cosine_neardup_pairs(
-            e, max_id=300, threshold_m=400, n_planes=2, n_tables=8
+            e, max_id=300, threshold_m=400, n_planes=2, n_tables=8, dim=64
         )
 
     q["embedding_neardup_lsh"] = embedding_neardup_lsh

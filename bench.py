@@ -95,17 +95,38 @@ def main():
     crawl_scale = float(os.environ.get("LCS_BENCH_CRAWL_SCALE", "1.0"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
-    # bench hygiene (VERDICT r02): a loaded machine makes every number
-    # noise (r02's driver series was uniformly ~2x slower from a
-    # concurrent process, not code). Record the pre-run load in the JSON
-    # and stamp `dirty` when the 1-min loadavg says another heavy process
-    # owns cores; readers must discard dirty captures.
+    # bench hygiene (VERDICT r02/r03): a loaded machine makes every
+    # number noise (r02's driver series was uniformly ~2x slower from a
+    # concurrent process; r03's capture shipped with `dirty: true`). A
+    # guard that only STAMPS is half a guard — on a loaded start,
+    # poll-wait for a quiet window (up to LCS_BENCH_WAIT_MIN minutes,
+    # default 10); if none arrives, REFUSE (exit 3) rather than emit a
+    # capture that becomes the round's committed evidence.
+    # LCS_BENCH_FORCE=1 overrides for debugging (stamped dirty as before).
+    wait_min = float(os.environ.get("LCS_BENCH_WAIT_MIN", "10"))
+    force = os.environ.get("LCS_BENCH_FORCE", "") == "1"
+    deadline = time.time() + wait_min * 60.0
+    while os.getloadavg()[0] > 2.0 and time.time() < deadline and not force:
+        print(
+            f"# loadavg {os.getloadavg()[0]:.2f} > 2 — waiting for a quiet "
+            f"window ({int(deadline - time.time())}s left)",
+            file=sys.stderr,
+        )
+        time.sleep(15)
     load_before = tuple(round(x, 2) for x in os.getloadavg())
     dirty = load_before[0] > 2.0
+    if dirty and not force:
+        print(
+            f"# REFUSED: 1-min loadavg {load_before[0]} stayed > 2 for "
+            f"{wait_min} min — another process owns this machine; a capture "
+            "now would be noise. Re-run when quiet (or LCS_BENCH_FORCE=1).",
+            file=sys.stderr,
+        )
+        sys.exit(3)
     if dirty:
         print(
-            f"# WARNING: 1-min loadavg {load_before[0]} > 2 before start; "
-            "another process is using this machine — capture flagged dirty",
+            f"# WARNING: 1-min loadavg {load_before[0]} > 2 at start "
+            "(LCS_BENCH_FORCE) — capture flagged dirty",
             file=sys.stderr,
         )
 

@@ -298,11 +298,15 @@ class CrawlEngine:
             # scaling-efficiency cap — BENCH.md).
             # sized for TWO waves of writes in flight (pipeline_commits
             # lets wave N's writes drain behind wave N+1's foreground,
-            # which submits its own): a queued-up carry write would
-            # serialize the next wave's foreground, which blocks on
-            # exactly that future. Threads here only block on py4j.
+            # which submits its own). A wave can submit up to EIGHT
+            # background writes — metrics, url_bloom, resolved, two
+            # documents merges (normal + late path), and the three
+            # carries — so two pipelined waves need 16 workers; a queued
+            # carry write would serialize the next wave's foreground,
+            # which blocks on exactly that future (ADVICE r03). Threads
+            # here only block on py4j, so they cost nothing idle.
             self._pool = ThreadPoolExecutor(
-                max_workers=12, thread_name_prefix="lcs-wave-bg"
+                max_workers=16, thread_name_prefix="lcs-wave-bg"
             )
         return self._pool
 

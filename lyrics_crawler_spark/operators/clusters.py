@@ -37,6 +37,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _release_checkpoint(df: DataFrame) -> None:
+    """Drop a localCheckpoint's cached blocks NOW instead of waiting for
+    the JVM ContextCleaner (which only fires after both the Python and
+    JVM references are garbage-collected). Without this, an iterative
+    loop accumulates O(rounds) copies of its state table in
+    block-manager memory for the session lifetime — fine at sandbox
+    scale, hostile at 100 TB label-table sizes. The checkpointed
+    DataFrame's analyzed plan is a LogicalRDD holding exactly the
+    persisted RDD; best-effort (a private accessor) with the
+    ContextCleaner as the unchanged fallback."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass  # non-classic backends / future Spark: cleaner handles it
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -83,6 +99,10 @@ def connected_components(
                 .where(F.col("n.comp") != F.col("o.comp"))
                 .count()
             )
+            # the old round's checkpointed blocks are dead the moment the
+            # convergence count (the only reader) finishes — release them
+            # so memory stays O(1) rounds, not O(rounds) (ADVICE r03).
+            _release_checkpoint(labels)
             labels = new_labels
             if n_changed == 0:
                 return labels

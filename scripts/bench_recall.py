@@ -86,7 +86,10 @@ def main() -> None:
 
     print("\n| centroid_mod | n_probe | IVF recall@5 | wall |")
     print("|---|---|---|---|")
-    for mod, probe in [(32, 4), (32, 8), (64, 8), (64, 16)]:
+    # (16, 4) is the ann_ivf entry query's own operating point — the
+    # shipped configuration must appear in the reproducible grid
+    # (ADVICE r03).
+    for mod, probe in [(16, 4), (16, 8), (32, 4), (32, 8), (64, 8), (64, 16)]:
         t0 = time.time()
         approx = ann_ivf_topk(
             emb, N_QUERIES, corpus_max, k=K, centroid_mod=mod, n_probe=probe

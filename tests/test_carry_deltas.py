@@ -54,6 +54,56 @@ def test_delta_mode_commits_deltas_not_state(spark, tmp_store):
     assert last_delta.count() < live.count()
 
 
+def test_delta_mode_pipelined_golden(spark, tmp_store):
+    """pipeline_commits=True combined with carry_deltas=2: the
+    delta-append branch of _carry_paths (the inflight wave's carry
+    snapshot overlaid as an APPEND on the committed paths, resolved by
+    last-writer-wins) and the mid-flight compaction decision (reading
+    the committed manifest while the previous wave is still inflight)
+    were untested in isolation golden runs (ADVICE r03). K=2 on a
+    >4-wave crawl alternates delta and compact commits while every wave
+    reads the previous one's uncommitted carries through the overlay."""
+    spec = SiteSpec("hindilyrics", "http://hp.example", **SPEC)
+    assert_golden(
+        spark, [spec], tmp_store, carry_deltas=2, pipeline_commits=True
+    )
+
+
+def test_delta_mode_pipelined_kill_resume(spark, tmp_store):
+    """Kill a pipelined delta-mode run mid-crawl (the inflight wave's
+    manifest is published by run()'s finally); resume must converge to
+    the uninterrupted run's exact state."""
+    spec = SiteSpec("smriti", "http://sp.example", **SPEC)
+    full = CrawlEngine(
+        spark, [spec], tmp_store + "/full", carry_deltas=2,
+        pipeline_commits=True,
+    )
+    full.run()
+    part = CrawlEngine(
+        spark, [spec], tmp_store + "/part", carry_deltas=2,
+        pipeline_commits=True,
+    )
+    part.run(max_waves=3)
+    resumed = CrawlEngine(
+        spark, [spec], tmp_store + "/part", carry_deltas=2,
+        pipeline_commits=True,
+    )
+    resumed.run()
+
+    def state(eng):
+        docs = sorted(
+            (r.start_url, r.song_url, str(r.spans))
+            for r in eng.documents().collect()
+        )
+        trace = [
+            (r.site, r.seq, r.url, r.action, r.n_errors)
+            for r in eng.trace().orderBy("site", "seq").collect()
+        ]
+        return docs, trace
+
+    assert state(full) == state(resumed)
+
+
 def test_delta_mode_kill_resume_identical(spark, tmp_store):
     """Kill between a compaction and the next one, resume, final state
     equals an uninterrupted delta-mode run AND a replace-mode run."""
