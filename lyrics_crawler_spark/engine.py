@@ -298,32 +298,45 @@ class CrawlEngine:
             # scaling-efficiency cap — BENCH.md).
             # sized for TWO waves of writes in flight (pipeline_commits
             # lets wave N's writes drain behind wave N+1's foreground,
-            # which submits its own). A wave can submit up to EIGHT
-            # background writes — metrics, url_bloom, resolved, two
-            # documents merges (normal + late path), and the three
-            # carries — so two pipelined waves need 16 workers; a queued
-            # carry write would serialize the next wave's foreground,
-            # which blocks on exactly that future (ADVICE r03). Threads
-            # here only block on py4j, so they cost nothing idle.
+            # which submits its own). A wave can submit up to NINE
+            # background tasks — metrics, url_bloom, resolved, two
+            # documents merges (normal + late path), the three carries,
+            # and the J2 frontier write future — so two pipelined waves
+            # need 18 workers; a queued carry write would serialize the
+            # next wave's foreground, which blocks on exactly that future
+            # (ADVICE r03). No bg task waits on another future (thunks
+            # compose pre-read inputs only), so a saturated pool can
+            # stall but never deadlock. Threads here only block on py4j,
+            # so they cost nothing idle.
             self._pool = ThreadPoolExecutor(
-                max_workers=16, thread_name_prefix="lcs-wave-bg"
+                max_workers=20, thread_name_prefix="lcs-wave-bg"
             )
         return self._pool
 
-    def _stage_append_bg(self, table: str, df: DataFrame, wave: int, futures: list):
+    def _stage_append_bg(self, table: str, df, wave: int, futures: list):
         """Stage an append snapshot on a background thread. The future
         resolves to ``(manifest_entry_or_None, row_count)``; empty
         snapshots resolve to (None, 0) and are dropped from the commit.
         Uncommitted output of a failed wave is orphaned data, invisible
-        to readers — the same crash-safety story as the foreground path."""
+        to readers — the same crash-safety story as the foreground path.
+
+        ``df`` may be a DataFrame or a zero-arg callable returning one:
+        a callable defers PLAN CONSTRUCTION to the background thread.
+        Every pyspark expression node is a py4j round trip (~0.9 ms);
+        building the side-write plans on the wave's main thread was the
+        bulk of its serial `carries-submit` term (~4,200 round trips per
+        wave — scripts/diag_py4j.py). Thread-built plans are identical
+        JVM objects; socket waits release the GIL, so N threads' chatter
+        genuinely overlaps (VERDICT r03 task #1)."""
 
         def job():
             from pyspark.sql import Observation
 
             t0 = time.time()
+            plan = df() if callable(df) else df
             obs = Observation()
             entry = self.store.stage_append(
-                table, df.observe(obs, F.count(F.lit(1)).alias("n")), wave
+                table, plan.observe(obs, F.count(F.lit(1)).alias("n")), wave
             )
             n = obs.get["n"]
             if _TIMING:
@@ -332,16 +345,18 @@ class CrawlEngine:
 
         futures.append(self._bg_pool().submit(job))
 
-    def _stage_replace_bg(self, table: str, df: DataFrame, wave: int, futures: list):
+    def _stage_replace_bg(self, table: str, df, wave: int, futures: list):
         """Stage a replace-mode carry snapshot on a background thread.
         Unlike appends, an EMPTY replace must still commit (the carry
         legitimately drains — e.g. pending at exhaustion); readers use
         :meth:`_read_carry` with an explicit schema so a footer-less
-        empty snapshot round-trips."""
+        empty snapshot round-trips. ``df`` may be a thunk (see
+        :meth:`_stage_append_bg`)."""
 
         def job():
             t0 = time.time()
-            out = self.store.stage_replace(table, df, wave), -1
+            plan = df() if callable(df) else df
+            out = self.store.stage_replace(table, plan, wave), -1
             if _TIMING:
                 print(f"    [bg:{table}] {time.time() - t0:.2f}s", flush=True)
             return out
@@ -365,6 +380,8 @@ class CrawlEngine:
                 entry, _n = f.result()
                 if entry:
                     fl["staged"].append(entry)
+            if fl["stats"].get("resolved") is None and "f_resolved" in fl:
+                fl["stats"]["resolved"] = fl["f_resolved"].result()[1]
             self.store.commit_wave(fl["wave"], fl["staged"], fl["stats"])
         finally:
             for df in fl["persisted"]:
@@ -411,15 +428,23 @@ class CrawlEngine:
         compact = (not K) or wave % K == 0 or not self.store.read_manifest()[
             "tables"
         ].get(table)
+        # full_df/delta_df may be thunks — only the CHOSEN side's plan is
+        # ever built, and it is built on the background thread (the
+        # unchosen side used to cost its full py4j chatter for nothing).
         if compact:
-            framed = full_df.withColumn("w", F.lit(wave)).withColumn(
-                "live", F.lit(True)
-            )
+            def framed():
+                plan = full_df() if callable(full_df) else full_df
+                return plan.withColumn("w", F.lit(wave)).withColumn(
+                    "live", F.lit(True)
+                )
+
             self._stage_replace_bg(table, framed, wave, bg)
         else:
-            self._stage_append_bg(
-                table, delta_df.withColumn("w", F.lit(wave)), wave, bg
-            )
+            def framed_delta():
+                plan = delta_df() if callable(delta_df) else delta_df
+                return plan.withColumn("w", F.lit(wave))
+
+            self._stage_append_bg(table, framed_delta, wave, bg)
 
     def _read_worklist(self, table: str, schema: str) -> DataFrame:
         """Current state of a worklist carry: base + delta snapshots,
@@ -827,20 +852,29 @@ class CrawlEngine:
     def _wave_body(self, wave: int, persisted: list[DataFrame]) -> bool:
         """One BSP wave, O(|pending| + |wave|) — never O(state).
 
-        Foreground (the critical path) is exactly TWO write jobs:
+        Foreground (the critical path) is ONE blocking write job plus
+        plan construction:
 
           J1  politeness-selected fetch over the ``pending`` carry →
-              fetch_log append;
+              fetch_log append (blocking — everything depends on it);
           J2  resolution + LIFO fan-out over the ``unresolved`` carry →
-              frontier append (kids).
+              frontier append (kids), submitted as a background FUTURE:
+              the main thread overlaps J2's execution with the wave's
+              kid-independent plan construction, then joins it.
 
         Everything else — metrics, bloom delta, resolved log, documents
         deltas, and the three carry-table updates — runs on background
-        threads and is gathered before the manifest commit. History logs
-        are touched only by (a) the kid URL-seen probe (bloom-pruned to
-        the maybe-side when ``bloom_seen``; a slim full-log aggregate
-        otherwise) and (b) broadcast-filtered lookups for the rare
-        late-resolution rows (dup occurrences of already-fetched URLs).
+        threads as THUNKS (the plan's py4j chatter happens on the worker
+        thread too — VERDICT r03 #1 serial-term attack) and is gathered
+        before the manifest commit. History logs are touched only by
+        (a) the kid URL-seen probe (bloom-pruned to the maybe-side when
+        ``bloom_seen``; a slim full-log aggregate otherwise) and
+        (b) broadcast-filtered lookups for the rare late-resolution rows
+        (dup occurrences of already-fetched URLs). All history/carry
+        READS happen on this thread before the thunks are submitted —
+        a thunk reading through ``_read``'s inflight overlay after the
+        pipelined swap would see its own wave (or deadlock on its own
+        carry future).
         """
         dim = F.broadcast(self.site_dim)
         staged: list[dict] = []
@@ -906,22 +940,27 @@ class CrawlEngine:
         _t = _tick('fetch+stage', _t)
 
         # side writes depending only on this wave's (cached) fetch output
-        # run on background threads, off the wave's critical path.
+        # run on background threads, off the wave's critical path — as
+        # THUNKS: their plan construction (py4j chatter) happens on the
+        # background thread too, not on the wave's serial spine.
         if new_log is not None:
             snapshot_id = log_entry["path"]
+
             # per-wave, per-host, per-partition lineage metrics (O4)
-            met = (
-                new_log.groupBy("host", "partition_id")
-                .agg(
-                    F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("urls_fetched"),
-                    F.sum(F.when(~F.col("ok"), 1).otherwise(0)).alias("errors"),
-                    F.sum(F.when(F.col("ok"), F.col("bytes")).otherwise(0)).alias("bytes"),
-                    F.sum("delay_s").alias("vtime_s"),
-                    F.count("*").alias("urls_attempted"),
+            def met():
+                return (
+                    new_log.groupBy("host", "partition_id")
+                    .agg(
+                        F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("urls_fetched"),
+                        F.sum(F.when(~F.col("ok"), 1).otherwise(0)).alias("errors"),
+                        F.sum(F.when(F.col("ok"), F.col("bytes")).otherwise(0)).alias("bytes"),
+                        F.sum("delay_s").alias("vtime_s"),
+                        F.count("*").alias("urls_attempted"),
+                    )
+                    .withColumn("wave", F.lit(wave))
+                    .withColumn("snapshot_id", F.lit(snapshot_id))
                 )
-                .withColumn("wave", F.lit(wave))
-                .withColumn("snapshot_id", F.lit(snapshot_id))
-            )
+
             self._stage_append_bg("metrics", met, wave, bg)
             if self.bloom_seen:
                 # bloom delta for every URL attempted this wave (ok and
@@ -936,15 +975,21 @@ class CrawlEngine:
                     BLOOM_SCHEMA, bloom_build, bloom_merge,
                 )
 
-                delta_bits = bloom_build(
-                    new_log.select(F.xxhash64("abs_url").alias("url_hash")),
-                    **self._bloom_params,
-                )
+                # NB: the carry read happens HERE on the main thread —
+                # a thunk running after the pipelined inflight swap
+                # would overlay-read its own wave (and deadlock waiting
+                # on its own future). Thunks never touch _read*/fetch_log;
+                # they only compose plans over pre-read inputs.
                 prev_bits = self._read_carry("url_bloom", BLOOM_SCHEMA)
-                self._stage_replace_bg(
-                    "url_bloom", bloom_merge(prev_bits.unionByName(delta_bits)),
-                    wave, bg,
-                )
+
+                def bloom_next():
+                    delta_bits = bloom_build(
+                        new_log.select(F.xxhash64("abs_url").alias("url_hash")),
+                        **self._bloom_params,
+                    )
+                    return bloom_merge(prev_bits.unionByName(delta_bits))
+
+                self._stage_replace_bg("url_bloom", bloom_next, wave, bg)
                 carry_futures["url_bloom"] = bg[-1]
             _t = _tick('metrics-submit', _t)
 
@@ -1112,28 +1157,89 @@ class CrawlEngine:
             F.lit(self.cycle).alias("cycle"),
             F.col("c_key_dec").alias("key_dec"),
         )
-        new_kids, n_kids, _kids_entry = self._stage_and_read(
-            "frontier", new_frontier_df, wave, FRONTIER_SCHEMA, staged
+        # J2's write runs as a background future: the plan is complete
+        # (it only consumes the cached `res`), so the main thread uses
+        # J2's job time to build every kid-INDEPENDENT plan below —
+        # driver py4j chatter that used to be serial after the write.
+        # _stage_and_read appends the frontier entry to `staged` from
+        # the worker thread; the only other staged append (fetch_log)
+        # already happened, so the list order stays deterministic.
+        fut_j2 = self._bg_pool().submit(
+            self._stage_and_read,
+            "frontier", new_frontier_df, wave, FRONTIER_SCHEMA, staged,
         )
+        _t = _tick('kids-submit', _t)
+
+        # ---- kid-independent fragments (overlap J2's execution) ----
+        # history/carry READS stay on this thread (see the bloom note:
+        # a thunk reading history after the pipelined inflight swap
+        # would see its own wave's overlay); thunks below only compose
+        # plans over these pre-read inputs.
+        PM = self._memo("pending_merge", self._build_pending_merge_exprs)
+        if new_log is not None:
+            log_agg = new_log.groupBy("abs_url").agg(*PM["log_agg"])
+            old_side = pending.join(log_agg, "abs_url", "left").select(
+                *PM["old_side_logged"]
+            )
+        else:
+            old_side = pending.select(*PM["old_side_plain"])
+        undecided = defer_check.join(
+            dup_decided.select("dfs_key", "abs_url"), ["dfs_key", "abs_url"],
+            "left_anti",
+        )
+        lu = self._read_worklist("leaf_unsaved", LEAF_UNSAVED_SCHEMA)
+        if new_log is not None:
+            new_details = (
+                self.parsed_view(new_log)
+                .drop("children", "bytes")
+                .withColumnRenamed("wave", "fetched_at")
+            )
+            # documents MERGE, waiting-leaf path: depends only on this
+            # wave's parses — submitted before J2 even finishes.
+            self._merge_documents(
+                lu.join(dim, "site").join(new_details, "abs_url"), wave, bg
+            )
+        else:
+            new_details = None
+        # pre-read parse history for the late-dup lookups (kid thunks)
+        parse_hist = self.parsed_view(self.fetch_log(True)).select(
+            "abs_url", "children"
+        )
+        detail_hist = (
+            self.parsed_view(self.fetch_log(True))
+            .drop("children", "bytes")
+            .withColumnRenamed("wave", "fetched_at")
+        )
+        if new_log is not None:
+            parse_hist = parse_hist.unionByName(
+                self.parsed_view(new_log).select("abs_url", "children")
+            )
+            detail_hist = detail_hist.unionByName(new_details)
+        _t = _tick('prekids-submit', _t)
+
+        new_kids, n_kids, _kids_entry = fut_j2.result()
         _t = _tick('kids+stage', _t)
 
-        n_resolved = f_resolved.result()[1]
-        if n_fetched == 0 and n_resolved == 0:
-            # nothing progressed this wave (n_kids is necessarily 0 —
-            # kids explode out of expanded resolutions): either the crawl
-            # is done, or the engine is stuck (a bug). Join the side
-            # writes (all empty) and decide with one final count: only
-            # undecidable deferred occurrences (url_ok rows) indicate a
-            # stuck engine; url_ok=false rows of dead URLs are expected
-            # residue (their occurrences never resolve — trace marks them
-            # dead).
-            for f in bg:
-                f.result()
-            if unresolved.where("url_ok").count() == 0:
-                return False
-            raise RuntimeError(
-                "wave made no progress: nothing pending and nothing resolvable"
-            )
+        if n_fetched == 0:
+            # a zero-fetch wave can still progress (deferred dups
+            # resolving); only now is the resolved count worth a barrier.
+            n_resolved = f_resolved.result()[1]
+            if n_resolved == 0:
+                # nothing progressed this wave (n_kids is necessarily 0 —
+                # kids explode out of expanded resolutions): either the
+                # crawl is done, or the engine is stuck (a bug). Join the
+                # side writes (all empty) and decide with one final
+                # count: only undecidable deferred occurrences (url_ok
+                # rows) indicate a stuck engine; url_ok=false rows of
+                # dead URLs are expected residue (their occurrences never
+                # resolve — trace marks them dead).
+                for f in bg:
+                    f.result()
+                if unresolved.where("url_ok").count() == 0:
+                    return False
+                raise RuntimeError(
+                    "wave made no progress: nothing pending and nothing resolvable"
+                )
 
         # ---- kid URL-seen probe (D1): per distinct kid URL, has it been
         # attempted before (ok / failing / dead)? Feeds the three carry
@@ -1204,14 +1310,7 @@ class CrawlEngine:
         # first(site, ignorenulls)/min(min_key-as-string), whose string
         # buffers degrade to SortAggregate — the single largest GC source
         # in the wave loop (BENCH.md round 3).
-        PM = self._memo("pending_merge", self._build_pending_merge_exprs)
-        if new_log is not None:
-            log_agg = new_log.groupBy("abs_url").agg(*PM["log_agg"])
-            old_side = pending.join(log_agg, "abs_url", "left").select(
-                *PM["old_side_logged"]
-            )
-        else:
-            old_side = pending.select(*PM["old_side_plain"])
+        # (`old_side` was built pre-J2, overlapping J2's write.)
         sides = [old_side]
         if kids_checked is not None:
             kid_side = kids_checked
@@ -1251,8 +1350,8 @@ class CrawlEngine:
         pend_live = ~F.col("has_ok_any") & (F.col("n_fail") < F.col("max_err"))
         self._stage_carry_bg(
             "pending",
-            merged.where(pend_live).select(*pend_cols),
-            merged.where(F.col("touched") == 1).select(
+            lambda: merged.where(pend_live).select(*pend_cols),
+            lambda: merged.where(F.col("touched") == 1).select(
                 *pend_cols, pend_live.alias("live")
             ),
             wave,
@@ -1269,23 +1368,18 @@ class CrawlEngine:
             & (F.col("n_fail") >= F.col("max_err"))
         ).select("abs_url")
 
-        # ---- unresolved' (background) ----
-        undecided = defer_check.join(
-            dup_decided.select("dfs_key", "abs_url"), ["dfs_key", "abs_url"],
-            "left_anti",
-        )
+        # ---- unresolved' (background thunk — `undecided` was built
+        # pre-J2; kn and the unions are composed on the worker thread) --
         unres_cols = [
             "dfs_key", "abs_url", "site", "host", "url", "task_type", "depth",
             "movie", "artist", "is_exp", "url_ok", "n_prev", "children",
             "key_dec",
         ]
-        unres_parts = [
-            U.where(~F.col("url_ok"))
-            .join(newly_dead, "abs_url", "left_anti")
-            .select(*unres_cols),
-            undecided.select(*unres_cols),
-        ]
-        if kids_checked is not None:
+
+        def build_kn() -> DataFrame:
+            """New unresolved occurrences from this wave's kids. Only
+            called when kids_checked is not None; shared by the replace
+            and delta thunks (exactly one of which runs)."""
             kn = (
                 new_kids.join(dim, "site")
                 .where(self._nonleaf(F.col("topology"), F.col("task_type")))
@@ -1327,14 +1421,8 @@ class CrawlEngine:
             )
             # dup occurrences of already-fetched URLs arrive resolvable:
             # attach their children from page history now (rare rows —
-            # broadcast-filtered lookup, the log is never shuffled).
-            parse_hist = self.parsed_view(self.fetch_log(True)).select(
-                "abs_url", "children"
-            )
-            if new_log is not None:
-                parse_hist = parse_hist.unionByName(
-                    self.parsed_view(new_log).select("abs_url", "children")
-                )
+            # broadcast-filtered lookup over the pre-read parse history;
+            # the log is never shuffled).
             ok_urls = kn.where("k_has_ok").select("abs_url").distinct()
             kid_children = parse_hist.join(
                 F.broadcast(ok_urls), "abs_url", "left_semi"
@@ -1359,23 +1447,33 @@ class CrawlEngine:
                 )
             else:
                 kn = kn.withColumn("n_prev", F.lit(0).cast("bigint"))
-            unres_parts.append(kn.select(*unres_cols))
-        unres_next = unres_parts[0]
-        for p in unres_parts[1:]:
-            unres_next = unres_next.unionByName(p)
-        if self.carry_deltas:
+            return kn
+
+        def unres_next() -> DataFrame:
+            parts = [
+                U.where(~F.col("url_ok"))
+                .join(newly_dead, "abs_url", "left_anti")
+                .select(*unres_cols),
+                undecided.select(*unres_cols),
+            ]
+            if kids_checked is not None:
+                parts.append(build_kn().select(*unres_cols))
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out
+
+        def unres_delta() -> DataFrame:
             # delta = changed occurrences only: flipped-but-deferred dups
             # (url_ok/children changed), newly inserted kid occurrences,
             # and tombstones for everything that left the worklist this
             # wave (resolved occurrences; occurrences of newly dead URLs).
-            unres_delta = undecided.select(*unres_cols).withColumn(
-                "live", F.lit(True)
-            )
+            d = undecided.select(*unres_cols).withColumn("live", F.lit(True))
             if kids_checked is not None:
-                unres_delta = unres_delta.unionByName(
-                    kn.select(*unres_cols).withColumn("live", F.lit(True))
+                d = d.unionByName(
+                    build_kn().select(*unres_cols).withColumn("live", F.lit(True))
                 )
-            unres_delta = unres_delta.unionByName(
+            return d.unionByName(
                 self._tombstones(res, UNRESOLVED_SCHEMA, _CARRY_KEYS["unresolved"])
             ).unionByName(
                 self._tombstones(
@@ -1386,34 +1484,16 @@ class CrawlEngine:
                     _CARRY_KEYS["unresolved"],
                 )
             )
-        else:
-            unres_delta = None
+
         self._stage_carry_bg("unresolved", unres_next, unres_delta, wave, bg)
         carry_futures["unresolved"] = bg[-1]
 
-        # ---- documents MERGE (O1) + leaf_unsaved' (background) ----
+        # ---- documents MERGE late path (O1) + leaf_unsaved' (background)
         # delta = leaf occurrences saved exactly once: waiting occurrences
-        # whose URL parsed THIS wave ∪ leaf kids enqueued this wave whose
-        # URL is already parsed (late dup expansions). The parse wave
-        # rides along as `fetched_at` (O2 virtual clock).
-        lu = self._read_worklist("leaf_unsaved", LEAF_UNSAVED_SCHEMA)
-        lu_parts = []
-        if new_log is not None:
-            new_details = (
-                self.parsed_view(new_log)
-                .drop("children", "bytes")
-                .withColumnRenamed("wave", "fetched_at")
-            )
-            self._merge_documents(
-                lu.join(dim, "site").join(new_details, "abs_url"), wave, bg
-            )
-            lu_parts.append(
-                lu.join(
-                    new_details.select("abs_url"), "abs_url", "left_anti"
-                ).join(newly_dead, "abs_url", "left_anti")
-            )
-        else:
-            lu_parts.append(lu.join(newly_dead, "abs_url", "left_anti"))
+        # whose URL parsed THIS wave (submitted pre-J2, above) ∪ leaf kids
+        # enqueued this wave whose URL is already parsed (late dup
+        # expansions). The parse wave rides along as `fetched_at` (O2
+        # virtual clock).
         if kids_checked is not None:
             kl = (
                 new_kids.join(dim, "site")
@@ -1429,40 +1509,41 @@ class CrawlEngine:
                     kl.where(is_leaf01).join(prev_keys, ["site", "url"], "left_anti")
                 )
             # late path: leaf kid of an already-parsed URL saves now with
-            # the historical parse (broadcast-filtered detail lookup)
+            # the historical parse (broadcast-filtered lookup over the
+            # pre-read detail history)
             late = kl.where("k_has_ok")
-            detail_hist = (
-                self.parsed_view(self.fetch_log(True))
-                .drop("children", "bytes")
-                .withColumnRenamed("wave", "fetched_at")
-            )
-            if new_log is not None:
-                detail_hist = detail_hist.unionByName(
-                    self.parsed_view(new_log)
-                    .drop("children", "bytes")
-                    .withColumnRenamed("wave", "fetched_at")
+
+            def late_delta():
+                late_details = detail_hist.join(
+                    F.broadcast(late.select("abs_url").distinct()),
+                    "abs_url",
+                    "left_semi",
                 )
-            late_details = detail_hist.join(
-                F.broadcast(late.select("abs_url").distinct()),
-                "abs_url",
-                "left_semi",
-            )
-            self._merge_documents(late.join(late_details, "abs_url"), wave, bg)
-            lu_parts.append(
-                kl.where(~F.col("k_has_ok") & (F.col("k_n_fail") < F.col("max_err")))
-                .select(
-                    "dfs_key", "abs_url", "site", "host", "url", "task_type",
-                    "movie", "movie_url", "artist", "album", "album_url", "song",
-                )
-            )
+                return late.join(late_details, "abs_url")
+
+            self._merge_documents(late_delta, wave, bg)
+        else:
+            kl = None
         lu_cols = [
             "dfs_key", "abs_url", "site", "host", "url", "task_type",
             "movie", "movie_url", "artist", "album", "album_url", "song",
         ]
-        lu_next = lu_parts[0].select(*lu_cols)
-        for p in lu_parts[1:]:
-            lu_next = lu_next.unionByName(p.select(*lu_cols))
-        if self.carry_deltas:
+        kl_live = ~F.col("k_has_ok") & (F.col("k_n_fail") < F.col("max_err"))
+
+        def lu_base() -> DataFrame:
+            if new_log is not None:
+                return lu.join(
+                    new_details.select("abs_url"), "abs_url", "left_anti"
+                ).join(newly_dead, "abs_url", "left_anti")
+            return lu.join(newly_dead, "abs_url", "left_anti")
+
+        def lu_next() -> DataFrame:
+            out = lu_base().select(*lu_cols)
+            if kl is not None:
+                out = out.unionByName(kl.where(kl_live).select(*lu_cols))
+            return out
+
+        def lu_delta() -> DataFrame:
             # delta = new waiting leaf occurrences + tombstones for rows
             # whose URL saved this wave or died this wave.
             tomb_src = lu.join(newly_dead, "abs_url", "left_semi")
@@ -1470,22 +1551,28 @@ class CrawlEngine:
                 tomb_src = tomb_src.unionByName(
                     lu.join(new_details.select("abs_url"), "abs_url", "left_semi")
                 )
-            lu_delta = self._tombstones(
+            d = self._tombstones(
                 tomb_src, LEAF_UNSAVED_SCHEMA, _CARRY_KEYS["leaf_unsaved"]
             )
-            for p in lu_parts[1:]:
-                lu_delta = lu_delta.unionByName(
-                    p.select(*lu_cols).withColumn("live", F.lit(True))
+            if kl is not None:
+                d = d.unionByName(
+                    kl.where(kl_live).select(*lu_cols).withColumn(
+                        "live", F.lit(True)
+                    )
                 )
-        else:
-            lu_delta = None
+            return d
+
         self._stage_carry_bg("leaf_unsaved", lu_next, lu_delta, wave, bg)
         carry_futures["leaf_unsaved"] = bg[-1]
         _t = _tick('carries-submit', _t)
 
+        # `resolved` (the f_resolved count) is filled at gather time —
+        # blocking on the resolved-log write mid-wave was a pointless
+        # foreground barrier whenever n_fetched > 0 (progress is already
+        # proven).
         stats = {
             "fetched": n_fetched,
-            "resolved": n_resolved,
+            "resolved": None,
             "kids": n_kids,
             "wall_s": round(time.time() - t0, 3),
         }
@@ -1502,6 +1589,7 @@ class CrawlEngine:
                 "staged": staged,
                 "bg": bg,
                 "stats": stats,
+                "f_resolved": f_resolved,
                 "persisted": list(persisted),
                 "carry_futures": carry_futures,
             }
@@ -1511,6 +1599,7 @@ class CrawlEngine:
                 entry, _n = f.result()
                 if entry:
                     staged.append(entry)
+            stats["resolved"] = f_resolved.result()[1]
             _t = _tick('bg-gather', _t)
             self.store.commit_wave(wave, staged, stats)
         return True
@@ -1775,15 +1864,20 @@ class CrawlEngine:
         MATCHED AND s.key <wins> t.key THEN UPDATE with merge-on-read
         row deltas."""
         withcols, sel_pre, sel_post = self._docs_sink_exprs()
-        docs_delta = delta
-        for name, c in withcols:
-            docs_delta = docs_delta.withColumn(name, c)
-        docs_delta = docs_delta.select(
-            *sel_pre,
-            F.lit(wave).alias("wave"),
-            F.lit(self.cycle).alias("cycle"),
-            *sel_post,
-        )
+
+        # the sink plan (a ~40-node withColumn/select chain) is built on
+        # the background thread too — `delta` may itself be a thunk.
+        def docs_delta():
+            plan = delta() if callable(delta) else delta
+            for name, c in withcols:
+                plan = plan.withColumn(name, c)
+            return plan.select(
+                *sel_pre,
+                F.lit(wave).alias("wave"),
+                F.lit(self.cycle).alias("cycle"),
+                *sel_post,
+            )
+
         # append the delta only — the win-rule resolves at read
         # (:meth:`documents`); a wave never rewrites history. The write
         # runs on a background thread (it gates nothing downstream in the
