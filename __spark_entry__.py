@@ -271,13 +271,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def ann_lsh(spark, sf):  # LSH-bucketed ANN: the scale path
         # defaults (n_planes=4, n_tables=16): measured recall@5 = 0.926
-        # vs brute force at sf0.1 (BENCH.md §ANN recall)
+        # on the isotropic testdata corpus, 1.000 on the clustered
+        # corpus (BENCH.md §ANN recall, both regimes)
         e = _t(spark, sf, "embeddings")
         return ann_lsh_topk(e, queries_max_id=10, corpus_max_id=300, k=5, dim=64)
 
     q["ann_lsh"] = ann_lsh
 
     def ann_ivf(spark, sf):  # IVF-flat ANN: the partition-pruning scale path
+        # (centroid_mod=16, n_probe=4): measured recall@5 = 0.949 on the
+        # clustered corpus IVF is designed for (~3% of brute-force
+        # candidate volume); 0.245 on the near-isotropic testdata worst
+        # case (BENCH.md §ANN recall, both regimes).
         e = _t(spark, sf, "embeddings")
         return ann_ivf_topk(
             e, queries_max_id=10, corpus_max_id=300, k=5,
