@@ -25,25 +25,37 @@ import tempfile
 import time
 
 
-def crawl_specs(scale: float = 1.0, seed: int = 777, pad_kb: int = 16):
+def crawl_specs(scale: float = 1.0, seed: int = 777, pad_kb: int = 16,
+                politeness: int | None = None):
     """Wide, flat bench sites: 3 waves deep, fetch+parse-dominated.
     Pages carry `pad_kb` KB of boilerplate (real lyrics pages are
     20-100 KB) and ids live in the same 10^10-URL address space as the
-    golden fixture. scale=1.0 ≈ 75k URLs."""
+    golden fixture. scale=1.0 ≈ 75k URLs.
+
+    ``politeness`` (per-host per-wave fetch budget) flips the crawl into
+    the |wave| ≪ |state| regime: each wave fetches ≤ 3·politeness URLs
+    while the pending worklist holds everything already discovered —
+    the deep-crawl shape (and the real politeness-bound crawl shape)
+    that delta-mode carries are designed for (VERDICT r03 task #2). The
+    default (None) keeps the broad-shallow shape where the frontier
+    turns over wholly per wave."""
     from lyrics_crawler_spark.sitegen.graph import SiteSpec
 
     b1 = max(1, int(100 * scale))
     return [
         SiteSpec("hindilyrics", "http://bench-h.example", seed=seed,
                  n_seeds=8, branch1=b1, branch2=40, page_pad_kb=pad_kb,
-                 error_rate=0.0, dup_link_rate=0.02, empty_movie_rate=0.02),
+                 error_rate=0.0, dup_link_rate=0.02, empty_movie_rate=0.02,
+                 politeness_budget=politeness),
         SiteSpec("smriti", "http://bench-s.example", seed=seed + 1,
                  n_seeds=8, branch1=b1, branch2=40, page_pad_kb=pad_kb,
-                 error_rate=0.0, dup_link_rate=0.02, empty_movie_rate=0.02),
+                 error_rate=0.0, dup_link_rate=0.02, empty_movie_rate=0.02,
+                 politeness_budget=politeness),
         SiteSpec("metrolyrics", "http://bench-m.example", seed=seed + 2,
                  n_seeds=4, branch1=max(1, int(30 * scale)), n_pages=3,
                  songs_per_page=30, page_pad_kb=pad_kb,
-                 error_rate=0.0, dup_link_rate=0.02),
+                 error_rate=0.0, dup_link_rate=0.02,
+                 politeness_budget=politeness),
     ]
 
 
@@ -63,6 +75,10 @@ def run_crawl_bench(spark, scale: float):
     # "pipelined commits" negative result) — this box is DRAM-bound, so
     # overlap adds contention; the flag exists for real-cluster runs.
     pipeline = os.environ.get("LCS_BENCH_PIPELINE", "0") == "1"
+    # LCS_BENCH_POLITENESS=B caps per-host fetches at B per wave — the
+    # |wave| ≪ |state| regime where delta carries are designed to win
+    # (see crawl_specs docstring). 0/unset keeps the broad-shallow shape.
+    politeness = int(os.environ.get("LCS_BENCH_POLITENESS", "0")) or None
     # LCS_BENCH_DISABLE_AQE=1 turns AQE off inside the wave loop.
     # Measured: no effect beyond machine noise (BENCH.md ABBA protocol);
     # default keeps AQE on like every other Spark job.
@@ -70,12 +86,13 @@ def run_crawl_bench(spark, scale: float):
     d = tempfile.mkdtemp(prefix="lcs_bench_")
     try:
         eng = CrawlEngine(
-            spark, crawl_specs(scale), d, bloom_seen=bloom,
+            spark, crawl_specs(scale, politeness=politeness), d, bloom_seen=bloom,
             carry_deltas=carry_k, pipeline_commits=pipeline,
             disable_aqe=aqe_off,
         )
         t0 = time.time()
-        eng.run(max_waves=60)
+        # a politeness-budgeted crawl needs total_urls/budget waves, not 3
+        eng.run(max_waves=60 if politeness is None else 2000)
         sec = time.time() - t0
         urls = eng.fetch_log().count()
         docs = eng.documents().count()

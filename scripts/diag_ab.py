@@ -37,7 +37,12 @@ from bench import run_crawl_bench
 cpus = int(sys.argv[1]); scale = float(sys.argv[2])
 spark = get_spark(f"ab{cpus}", master=f"local[{cpus}]", shuffle_partitions=32,
                   extra_conf={"spark.local.dir": base, **conf})
-warmup = run_crawl_bench(spark, min(1.0, scale))
+# LCS_AB_WARM_SCALE overrides the JIT-warmup crawl's scale (default:
+# min(1, scale)). Needed for slow-by-construction regimes (politeness-
+# budgeted waves) where a full-scale warmup would double every arm of
+# an A/B series; both arms must use the SAME value.
+warm_scale = float(os.environ.get("LCS_AB_WARM_SCALE", str(min(1.0, scale))))
+warmup = run_crawl_bench(spark, warm_scale)
 r = run_crawl_bench(spark, scale)
 print("RESULT " + json.dumps({"cpus": cpus, "conf": conf, "run": r}))
 spark.stop()

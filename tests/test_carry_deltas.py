@@ -54,6 +54,18 @@ def test_delta_mode_commits_deltas_not_state(spark, tmp_store):
     assert last_delta.count() < live.count()
 
 
+def test_delta_mode_politeness_golden(spark, tmp_store):
+    """Politeness budget + delta carries combined: the |wave| ≪ |state|
+    regime delta mode is DESIGNED for (each wave fetches ≤ budget URLs
+    while pending holds the whole discovered frontier — the bench.py
+    LCS_BENCH_POLITENESS A/B shape). Golden trace/seen/spans equality
+    with mid-crawl compaction."""
+    spec = SiteSpec(
+        "hindilyrics", "http://pd.example", politeness_budget=2, **SPEC
+    )
+    assert_golden(spark, [spec], tmp_store, carry_deltas=3)
+
+
 def test_delta_mode_pipelined_golden(spark, tmp_store):
     """pipeline_commits=True combined with carry_deltas=2: the
     delta-append branch of _carry_paths (the inflight wave's carry

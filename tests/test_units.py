@@ -134,3 +134,38 @@ def test_fetch_error_model():
     with _pytest.raises(FetchError):
         g.fetch(url, 0)
     assert g.fetch(url, f) == g.html(url)
+
+
+def test_synthetic_corpus_structure():
+    """Big-corpus generator (scripts/bench_big_corpus.py input): pure
+    function of (seed, doc_id) — block base, exact copies, mutated
+    near-dups, independent tail."""
+    from lyrics_crawler_spark.sitegen.corpus import _tokens_for
+
+    args = (100, 2, 3, 0.05)
+    base = _tokens_for(11, 0, *args)
+    assert _tokens_for(11, 1, *args) == base  # exact copy
+    assert _tokens_for(11, 2, *args) == base
+    mut = _tokens_for(11, 3, *args)
+    assert mut != base and len(mut) == len(base)  # near-dup, same length
+    n_diff = sum(1 for x, y in zip(mut, base) if x != y)
+    assert 0 < n_diff < len(base) // 4  # ~5% token mutations
+    assert _tokens_for(11, 0, *args) == base  # deterministic
+
+
+def test_clustered_embeddings_deterministic(spark):
+    """Clustered-corpus generator: byte-identical under repartitioning
+    (counter-based Philox), realized intra-cluster cosine near target."""
+    from lyrics_crawler_spark.sitegen.embeddings import (
+        clustered_embeddings,
+        corpus_geometry,
+    )
+
+    a = clustered_embeddings(spark, 200, dim=16, n_clusters=10)
+    b = clustered_embeddings(spark, 200, dim=16, n_clusters=10).repartition(7)
+    ra = {r.vec_id: tuple(r.embedding) for r in a.collect()}
+    rb = {r.vec_id: tuple(r.embedding) for r in b.collect()}
+    assert ra == rb
+    geo = corpus_geometry(a, 10, sample=200)
+    assert 0.7 < geo["intra_cos"] < 0.9
+    assert abs(geo["inter_cos"]) < 0.2
