@@ -229,22 +229,32 @@ def main() -> None:
         "--host", "127.0.0.1", "--port", "7077", "--webui-port", "42099",
         pin=DRIVER_PIN, log=os.path.join(WORK, "master.log"),
     )
+    # LCS_CLUSTER_LEVELS="1,2" runs a different executor-count pair —
+    # used for the 2-way control (this box's 2-way independent-process
+    # ceiling is 0.90 vs 0.33 at 4-way, BENCH.md "platform ceiling"; a
+    # 1-vs-2-executor point separates engine coordination cost from the
+    # box's 4-way DRAM collapse). BENCH.md's headline block is only
+    # rewritten for the canonical (1, 4) north-rule pair.
+    lo, hi = (int(x) for x in
+              os.environ.get("LCS_CLUSTER_LEVELS", "1,4").split(","))
     try:
         wait_port(7077)
-        r1 = run_level(1, zip_path)
-        r4 = run_level(4, zip_path)
+        r1 = run_level(lo, zip_path)
+        r4 = run_level(hi, zip_path)
     finally:
         master.terminate()
     m1, m4 = r1["measured"], r4["measured"]
     thru1, thru4 = m1["urls_per_sec"], m4["urls_per_sec"]
-    eff = round((thru4 / thru1) / 4.0, 3)
+    eff = round((thru4 / thru1) / (hi / lo), 3)
     print(json.dumps({
-        "metric": f"crawl throughput scaling, 1 vs 4 executors ({EXEC_CORES} cores each, pinned; driver isolated)",
+        "metric": f"crawl throughput scaling, {lo} vs {hi} executors ({EXEC_CORES} cores each, pinned; driver isolated)",
         "scale": SCALE, "urls": m1["urls"],
         "runs_1exec": r1["runs"], "runs_4exec": r4["runs"],
         "throughput_N": thru1, "throughput_4N": thru4,
         "scaling_efficiency": eff,
     }))
+    if (lo, hi) != (1, 4):
+        return
     block = f"""<!-- BEGIN bench_cluster (auto-generated by scripts/bench_cluster.py) -->
 Protocol (BASELINE.md "sandbox evidence protocol", north rule "N and 4N
 executors"): the identical crawl job on identical synthetic input
