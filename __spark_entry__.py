@@ -138,8 +138,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- dedup / membership (D1, D2, A1) ---
 
     def anti_join_unseen(spark, sf):  # D1 left_anti dedup
+        # The seen side is restricted to status-'P' orders so the result
+        # is non-vacuous at every sf (the full orders table covers every
+        # customer at sf>=0.001, which made this check pass on 0 == 0
+        # rows — the vacuous-oracle gotcha in the verify skill). Mirrors
+        # D1's real shape anyway: the URL-seen anti-join probes the
+        # SETTLED partition of the log, not every row ever staged.
         c = _t(spark, sf, "customer")
-        o = _t(spark, sf, "orders")
+        o = _t(spark, sf, "orders").where(F.col("o_orderstatus") == "P")
         return c.join(
             o, c["c_custkey"] == o["o_custkey"], "left_anti"
         ).select("c_custkey", "c_name")
@@ -662,7 +668,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "anti_join_unseen": """
             SELECT c_custkey, c_name FROM customer
-            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+            WHERE c_custkey NOT IN
+                (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
         """,
         "group_counts": """
             SELECT o_custkey AS cust, COUNT(*) AS n_orders FROM orders GROUP BY 1
