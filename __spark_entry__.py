@@ -238,7 +238,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def dedup_jaccard(spark, sf):
         d = _t(spark, sf, "documents")
-        return ngram_jaccard_pairs(d, threshold=0.3, max_id=150)
+        # max_id=500 covers the whole documents table at sf<=0.01: 28
+        # pairs at sf0.001 / 25 at sf0.01 (was 7/1 at max_id=150 — a
+        # one-row value-hash proves little). Verified flat-cost at
+        # sf0.1 (~1 s warm; the id bound keeps the shingle join small).
+        return ngram_jaccard_pairs(d, threshold=0.3, max_id=500)
 
     q["dedup_jaccard"] = dedup_jaccard
 
@@ -749,7 +753,7 @@ def oracle_sql() -> dict[str, str]:
         JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
         GROUP BY 1, 2
         """,
-        "dedup_jaccard": _dd_shingles_cte("WHERE doc_id < 150")
+        "dedup_jaccard": _dd_shingles_cte("WHERE doc_id < 500")
         + """,
         ds AS (SELECT DISTINCT doc_id, shingle FROM s),
         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM ds GROUP BY doc_id),
