@@ -384,17 +384,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def crawl_media_features(spark, sf):
         from lyrics_crawler_spark.operators.multimodal import (
             extract_features,
-            fetch_payload_stub,
+            fetch_payload,
             media_from_documents,
         )
 
         eng = _crawl_engine(spark)
         media = media_from_documents(eng.documents())
-        feats = extract_features(fetch_payload_stub(media))
+        feats = extract_features(fetch_payload(media))
         # exploded integer-ppm projection: the driver's canonicalizer
         # sorts every column, so the raw array<float> column (unhashable
-        # in pandas) must not reach it. decode_stub rounds to 6 dp, so
-        # ppm values are exact integers.
+        # in pandas) must not reach it. decode_features rounds to 6 dp,
+        # so ppm values are exact integers.
         return feats.select(
             "media_ref", "kind", F.posexplode("feature").alias("bucket", "v")
         ).select(
@@ -403,6 +403,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["crawl_media_features"] = crawl_media_features
+
+    def crawl_media_decoded(spark, sf):
+        """T13 decode proof: container metadata parsed out of the real
+        BMP/WAV bytes, an md5 over the re-encoded nearest-neighbor
+        resize (images) / the first real PCM frame slice (audio), and
+        the decoded-duration frame count — all hash-checked against a
+        pure-Python twin that shares only the per-payload codec
+        functions (scripts/dump_crawl_oracle.py)."""
+        from lyrics_crawler_spark.operators.multimodal import (
+            fetch_payload,
+            media_from_documents,
+            resize_images,
+            sample_frames,
+        )
+
+        eng = _crawl_engine(spark)
+        payloads = fetch_payload(media_from_documents(eng.documents()))
+        meta = payloads.select(
+            "media_ref", "kind",
+            F.coalesce("width", F.lit(-1)).alias("width"),
+            F.coalesce("height", F.lit(-1)).alias("height"),
+            F.coalesce("duration_ms", F.lit(-1)).alias("duration_ms"),
+        )
+        img_md5 = resize_images(payloads, target=24).select(
+            "media_ref", F.md5("payload").alias("content_md5")
+        )
+        frames = sample_frames(payloads, every_ms=400, max_frames=6)
+        n_frames = frames.groupBy("media_ref").agg(
+            F.count("*").alias("n_frames")
+        )
+        aud_md5 = frames.where(F.col("frame_idx") == 0).select(
+            "media_ref", F.md5("frame").alias("content_md5")
+        )
+        return (
+            meta.join(img_md5.unionByName(aud_md5), "media_ref")
+            .join(n_frames, "media_ref", "left")
+            .withColumn("n_frames", F.coalesce("n_frames", F.lit(0)))
+        )
+
+    q["crawl_media_decoded"] = crawl_media_decoded
 
     def crawl_seen_set(spark, sf):
         return _crawl_engine(spark).seen().select(
@@ -991,6 +1031,11 @@ def oracle_sql() -> dict[str, str]:
         "crawl_media_features": f"""
             SELECT media_ref, kind, bucket, value_ppm
             FROM read_parquet('{_dump('crawl_media_features')}')
+        """,
+        "crawl_media_decoded": f"""
+            SELECT media_ref, kind, width, height, duration_ms,
+                   content_md5, n_frames
+            FROM read_parquet('{_dump('crawl_media_decoded')}')
         """,
         # end-to-end dedup over the crawl corpus: rebuild each document's
         # text from the REFERENCE-ORACLE span dump (crawl side is thereby

@@ -80,3 +80,36 @@ def child_key_dec(parent_dec: Column, rank: Column, parent_depth: Column) -> Col
         .otherwise(F.lit(Decimal(1)))
     )
     return (parent_dec + (rank.cast("decimal(10,0)") + 1) * w).cast(KEY_DEC_TYPE)
+
+
+def hex_key_dec(key: Column) -> Column:
+    """Decimal twin derived from the hex path key at READ time — for
+    consumers whose storage carries only the string key (the documents
+    log). Pure Catalyst (substring/conv/arithmetic), order-isomorphic
+    and injective by the same 1+rank digit encoding as
+    :func:`child_key_dec` (absent level → digit 0 < any 1+rank), so
+    ``min/max(hex_key_dec(k))`` equals the lexicographic string winner
+    while keeping the aggregation buffer fixed-width (HashAggregate).
+    Deriving at read beats widening DOCS_SCHEMA: zero extra bytes in
+    every log row for a projection that is ~free next to the aggregate
+    it feeds."""
+
+    def digit(level: int) -> Column:  # 1-based tree level
+        sub = F.substring(key, (level - 1) * KEY_WIDTH + 1, KEY_WIDTH)
+        return (
+            F.when(
+                F.length(key) >= level * KEY_WIDTH,
+                F.conv(sub, 16, 10).cast("long") + 1,
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+
+    # two long half-words (each < 2^62) recombined in decimal — a single
+    # Σ digit·BASE^(4-L) in long arithmetic would overflow at level 1.
+    hi = digit(1) * F.lit(DEC_BASE) + digit(2)
+    lo = digit(3) * F.lit(DEC_BASE) + digit(4)
+    return (
+        hi.cast("decimal(19,0)") * F.lit(Decimal(DEC_BASE) ** 2)
+        + lo.cast("decimal(19,0)")
+    ).cast(KEY_DEC_TYPE)

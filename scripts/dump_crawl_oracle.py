@@ -8,7 +8,7 @@ Pure Python + pyarrow — no Spark. The dump is the *reference algorithm's*
 answer (LifoQueue replay in oracle/reference_oracle.py), not the engine's:
 the engine must reproduce it through a completely different execution
 strategy, which is exactly what makes the comparison a real oracle. The
-media-feature dump reuses the same pure per-payload stub functions the
+media dumps reuse the same pure per-payload codec functions the
 Spark mapInPandas stages wrap (operators/multimodal.py) — independent in
 everything that can break at scale (explode/distinct/batching/rounding),
 shared only in the deterministic fake codec itself.
@@ -27,7 +27,10 @@ import pyarrow.parquet as pq
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from lyrics_crawler_spark.operators.multimodal import decode_stub  # noqa: E402
+from lyrics_crawler_spark.operators.multimodal import (  # noqa: E402
+    decode_bmp, decode_features, decode_wav, encode_bmp, frame_slices,
+    resize_px, synth_payload,
+)
 from lyrics_crawler_spark.oracle import ReferenceOracle  # noqa: E402
 from lyrics_crawler_spark.sitegen.graph import default_specs  # noqa: E402
 
@@ -89,16 +92,17 @@ def main() -> None:
                     media_refs.add(s["media_ref"])
     _write("crawl_documents_spans", spans, {"pos": pa.int32(), "offset": pa.int32()})
 
-    # ---- crawl_media_features: distinct refs -> stub payload -> stub
-    # decode -> integer-ppm buckets (the same pure functions the Spark
-    # mapInPandas stages wrap; plumbing independent, codec shared) ----
+    # ---- crawl_media_features: distinct refs -> synthesized REAL
+    # BMP/WAV payloads -> real decode -> integer-ppm buckets (the same
+    # pure per-payload functions the Spark mapInPandas stages wrap;
+    # plumbing independent, codec shared) ----
     feats = {"media_ref": [], "kind": [], "bucket": [], "value_ppm": []}
     import numpy as np
 
     for ref in sorted(media_refs):
         kind = "image" if ref.endswith(".png") else "audio"
-        payload = hashlib.blake2b(ref.encode(), digest_size=32).digest() * 4
-        for b, v in enumerate(decode_stub(payload, kind)):
+        payload, _w, _h, _d = synth_payload(ref, kind)
+        for b, v in enumerate(decode_features(payload, kind)):
             # mirror the Spark query: feature lands as float32, then
             # F.round(v * 1e6) (HALF_UP on the double upcast).
             v32 = float(np.float32(v))
@@ -108,6 +112,39 @@ def main() -> None:
             feats["value_ppm"].append(int(np.floor(v32 * 1e6 + 0.5)))
     _write("crawl_media_features", feats,
            {"bucket": pa.int32(), "value_ppm": pa.int64()})
+
+    # ---- crawl_media_decoded: the T13 decode proof. Metadata parsed
+    # back out of the container bytes; md5 over the re-encoded
+    # nearest-neighbor resize (images, target 24) / the first real PCM
+    # frame slice (audio, 400 ms grid, max 6); decoded-duration frame
+    # count. Mirrors __spark_entry__.crawl_media_decoded exactly. ----
+    dec = {"media_ref": [], "kind": [], "width": [], "height": [],
+           "duration_ms": [], "content_md5": [], "n_frames": []}
+    for ref in sorted(media_refs):
+        kind = "image" if ref.endswith(".png") else "audio"
+        payload, _w, _h, _d = synth_payload(ref, kind)
+        if kind == "image":
+            px = decode_bmp(payload)
+            w, h, dur = int(px.shape[1]), int(px.shape[0]), -1
+            md5 = hashlib.md5(encode_bmp(resize_px(px, 24))).hexdigest()
+            n_frames = 0
+        else:
+            rate, samples = decode_wav(payload)
+            w, h = -1, -1
+            dur = len(samples) * 1000 // rate
+            slices = frame_slices(payload, every_ms=400, max_frames=6)
+            md5 = hashlib.md5(slices[0][2]).hexdigest()
+            n_frames = len(slices)
+        dec["media_ref"].append(ref)
+        dec["kind"].append(kind)
+        dec["width"].append(w)
+        dec["height"].append(h)
+        dec["duration_ms"].append(dur)
+        dec["content_md5"].append(md5)
+        dec["n_frames"].append(n_frames)
+    _write("crawl_media_decoded", dec,
+           {"width": pa.int32(), "height": pa.int32(),
+            "duration_ms": pa.int32(), "n_frames": pa.int64()})
 
 
 def _write(name: str, cols: dict, types: dict) -> None:

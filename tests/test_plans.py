@@ -130,3 +130,17 @@ def test_similarity_builders_are_lazy(spark):
     assert sched.numTotalJobs() == before, (
         "a similarity builder ran a Spark job at construction time"
     )
+
+
+def test_documents_read_plan_hash_aggregates(spark):
+    """The merge-on-read documents resolution (engine._resolve_documents)
+    must plan every win-rule aggregate as HashAggregate — the old
+    min/max(struct(cycle, dfs_key)) spelling carried a var-width string
+    buffer and silently degraded to SortAggregate on the read path of
+    the entire documents table (VERDICT r04 wrong #1)."""
+    from lyrics_crawler_spark.engine import DOCS_SCHEMA, CrawlEngine
+
+    log = spark.createDataFrame([], DOCS_SCHEMA)
+    p = formatted_plan(CrawlEngine._resolve_documents(log))
+    assert "SortAggregate" not in p, p
+    assert "HashAggregate" in p

@@ -58,19 +58,19 @@ def test_multimodal_feature_shapes(spark, tmp_store):
     feature extraction: schema, determinism, and histogram normalization."""
     from lyrics_crawler_spark.operators.multimodal import (
         extract_features,
-        fetch_payload_stub,
+        fetch_payload,
         media_from_documents,
     )
 
     eng = _small_crawl(spark, tmp_store + "/store")
     media = media_from_documents(eng.documents())
     assert media.count() > 0
-    payloads = fetch_payload_stub(media)
+    payloads = fetch_payload(media)
     imgs = payloads.where("kind = 'image'")
     if imgs.take(1):
         assert imgs.where("width IS NULL OR height IS NULL").count() == 0
     feats1 = extract_features(payloads).collect()
-    feats2 = extract_features(fetch_payload_stub(media)).collect()
+    feats2 = extract_features(fetch_payload(media)).collect()
     by_ref1 = {r.media_ref: r.feature for r in feats1}
     by_ref2 = {r.media_ref: r.feature for r in feats2}
     assert by_ref1 == by_ref2, "feature extraction must be deterministic"
@@ -84,14 +84,14 @@ def test_multimodal_resize_and_frame_sample(spark, tmp_store):
     sampling fans audio payloads out to one row per sampled timestamp,
     bounded by duration and max_frames."""
     from lyrics_crawler_spark.operators.multimodal import (
-        fetch_payload_stub,
+        fetch_payload,
         media_from_documents,
         resize_images,
         sample_frames,
     )
 
     eng = _small_crawl(spark, tmp_store + "/store")
-    payloads = fetch_payload_stub(media_from_documents(eng.documents()))
+    payloads = fetch_payload(media_from_documents(eng.documents()))
     resized = resize_images(payloads, target=32)
     n_img = payloads.where("kind = 'image'").count()
     assert resized.count() == n_img

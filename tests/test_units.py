@@ -169,3 +169,78 @@ def test_clustered_embeddings_deterministic(spark):
     geo = corpus_geometry(a, 10, sample=200)
     assert 0.7 < geo["intra_cos"] < 0.9
     assert abs(geo["inter_cos"]) < 0.2
+
+
+def test_hex_key_dec_order_isomorphic(spark):
+    """hex_key_dec (the read-time decimal twin) must be injective and
+    order-isomorphic to the hex path key's lexicographic order — the
+    property _resolve_documents' win-rule aggregation rests on."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from lyrics_crawler_spark.operators.priority import hex_key_dec
+
+    random.seed(11)
+    keys = set()
+
+    def gen(prefix, depth):
+        keys.add(prefix)
+        if depth >= 4:
+            return
+        for r in random.sample(range(0, 3000), 3):
+            gen(prefix + format(r, "08x"), depth + 1)
+
+    for i in range(4):
+        gen(format(i, "08x"), 1)
+
+    df = spark.createDataFrame([(k,) for k in sorted(keys)], "k string")
+    rows = (
+        df.select("k", hex_key_dec(F.col("k")).alias("d"))
+        .orderBy("d")
+        .collect()
+    )
+    assert [r.k for r in rows] == sorted(keys)  # order-isomorphic
+    assert len({r.d for r in rows}) == len(keys)  # injective
+
+
+def test_bmp_wav_codec_roundtrip():
+    """Real-container codecs (T13): encode→decode round-trips exactly,
+    including non-multiple-of-4 row widths (BMP padding) and odd-length
+    RIFF chunk walking; malformed payloads fail loudly."""
+    import numpy as np
+    import pytest as _pt
+
+    from lyrics_crawler_spark.operators.multimodal import (
+        decode_bmp, decode_wav, encode_bmp, encode_wav, resize_px,
+        synth_payload,
+    )
+
+    rng = np.random.RandomState(3)
+    for w, h in [(1, 1), (3, 2), (17, 5), (64, 64)]:
+        px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert (decode_bmp(encode_bmp(px)) == px).all(), (w, h)
+
+    s = (rng.randint(-32768, 32768, size=999)).astype(np.int16)
+    rate, back = decode_wav(encode_wav(s, 8000))
+    assert rate == 8000 and (back == s).all()
+
+    with _pt.raises(ValueError):
+        decode_bmp(b"XX" + b"\x00" * 60)
+    with _pt.raises(ValueError):
+        decode_wav(b"RIFFxxxxNOPE" + b"\x00" * 40)
+
+    # resize: exact nearest-neighbor integer index map
+    px = rng.randint(0, 256, size=(8, 4, 3), dtype=np.uint8)
+    r = resize_px(px, 2)
+    assert r.shape == (2, 2, 3)
+    assert (r[0, 0] == px[0, 0]).all() and (r[1, 1] == px[4, 2]).all()
+
+    # synth is a pure function of the ref and returns a decodable container
+    p1, w1, h1, _ = synth_payload("http://a/x.png", "image")
+    p2, *_ = synth_payload("http://a/x.png", "image")
+    assert p1 == p2
+    assert decode_bmp(p1).shape == (h1, w1, 3)
+    pa_, _, _, dur = synth_payload("http://a/y.mp3", "audio")
+    rate, samples = decode_wav(pa_)
+    assert len(samples) * 1000 // rate == dur
