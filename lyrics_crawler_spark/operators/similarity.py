@@ -232,34 +232,54 @@ def ann_lsh_topk(
     )
 
 
-def ann_ivf_topk(
-    df: DataFrame, queries_max_id: int, corpus_max_id: int, k: int = 5,
-    centroid_mod: int = 16, n_probe: int = 4,
-    vec_col: str = "embedding", key_col: str = "vec_id",
-) -> DataFrame:
-    """IVF-flat approximate top-k — the second scale path next to LSH
-    (SURVEY §2.11: "an IVF or LSH-bucketed variant").
-
-    Index: centroids are the corpus vectors whose portable 60-bit id
-    hash ≡ 0 (mod ``centroid_mod``) — a deterministic ~n/mod sample
-    needing no global sort and no iterative k-means (both engines pick
-    the identical set, which is what makes the operator oracle-checkable;
-    on a real deployment the centroid set would come from a sampled
-    k-means job and be written once). Every corpus vector is assigned to
-    its nearest centroid (broadcast centroid join + per-vector rank-1
-    window) = its inverted list.
-
-    Search: a query scores the centroid table (broadcast again), probes
-    its ``n_probe`` nearest lists, and reranks exactly inside them.
-    Candidates ≈ n·P/K per query vs n for brute force; the corpus scan
-    partitions by list id, so at 100 TB the lists are bucketed files and
-    a probe prunes partitions instead of filtering rows.
-
-    Scoring reuses the engine-portable integer trick (see
-    :func:`brute_force_topk`): per-row score = dot·|dot|/|c|² preserves
-    cosine order for a fixed left vector; ties break on the smaller id."""
+def _nearest_centroids(side: DataFrame, cents: DataFrame, id_out: str,
+                       rank_cap: int) -> DataFrame:
+    """Score ``side`` (quantized, id renamed to ``id_out``) against the
+    broadcast centroid table; keep each row's ``rank_cap`` nearest.
+    Integer dot + dot·|dot|/|c|² score (see :func:`brute_force_topk`)."""
     from pyspark.sql import Window
 
+    scored = side.crossJoin(F.broadcast(cents)).withColumn(
+        "cdot",
+        F.expr(
+            "aggregate(zip_with(q, cvec, (a, b) -> a * b), "
+            "cast(0 as bigint), (acc, x) -> acc + x)"
+        ),
+    ).withColumn(
+        "cscore",
+        (F.col("cdot") * F.abs(F.col("cdot"))).cast("double") / F.col("cn2"),
+    )
+    w = Window.partitionBy(id_out).orderBy(F.desc("cscore"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("crank", F.row_number().over(w))
+        .where(F.col("crank") <= rank_cap)
+        .select(id_out, "centroid_id", "q", "norm2")
+    )
+
+
+def build_ivf_index(
+    df: DataFrame, corpus_max_id: int, centroid_mod: int = 16,
+    vec_col: str = "embedding", key_col: str = "vec_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Index half of IVF-flat, split out so it is buildable ONCE and
+    amortized across query batches (VERDICT r04 next-round #5 — at 500k
+    vectors the one-shot build dominated every probe). Returns
+
+    - ``cents(centroid_id, cvec, cn2)`` — small, broadcastable;
+    - ``lists(neighbor_id, list_id, q, norm2)`` — every corpus vector
+      assigned to its nearest centroid (broadcast join + rank-1 window).
+
+    Persist both (``lists.write.partitionBy("list_id")``) and hand them
+    to :func:`ann_ivf_probe`: at 100 TB the lists are bucketed files and
+    a probe prunes partitions instead of rescanning/reassigning the
+    corpus per query batch (scripts/bench_big_corpus.py measures the
+    amortization).
+
+    Centroids are the corpus vectors whose portable 60-bit id hash ≡ 0
+    (mod ``centroid_mod``) — a deterministic ~n/mod sample needing no
+    global sort and no iterative k-means (both engines pick the
+    identical set, which is what makes the operator oracle-checkable; a
+    real deployment would write a sampled k-means job's output here)."""
     from lyrics_crawler_spark.functions.hashing import spark_hash64
 
     corpus = df.where(F.col(key_col) < corpus_max_id)
@@ -271,36 +291,26 @@ def ann_ivf_topk(
         F.col("q").alias("cvec"),
         F.col("norm2").alias("cn2"),
     )
-
-    def nearest(side: DataFrame, id_out: str, rank_cap: int):
-        scored = side.crossJoin(F.broadcast(cents)).withColumn(
-            "cdot",
-            F.expr(
-                "aggregate(zip_with(q, cvec, (a, b) -> a * b), "
-                "cast(0 as bigint), (acc, x) -> acc + x)"
-            ),
-        ).withColumn(
-            "cscore",
-            (F.col("cdot") * F.abs(F.col("cdot"))).cast("double") / F.col("cn2"),
-        )
-        w = Window.partitionBy(id_out).orderBy(
-            F.desc("cscore"), F.asc("centroid_id")
-        )
-        return (
-            scored.withColumn("crank", F.row_number().over(w))
-            .where(F.col("crank") <= rank_cap)
-            .select(id_out, "centroid_id", "q", "norm2")
-        )
-
-    lists = nearest(
-        z.withColumnRenamed(key_col, "neighbor_id"), "neighbor_id", 1
+    lists = _nearest_centroids(
+        z.withColumnRenamed(key_col, "neighbor_id"), cents, "neighbor_id", 1
     ).withColumnRenamed("centroid_id", "list_id")
-    probes = nearest(
-        z.where(F.col(key_col) < queries_max_id).withColumnRenamed(
-            key_col, "query_id"
-        ),
-        "query_id",
-        n_probe,
+    return cents, lists
+
+
+def ann_ivf_probe(
+    cents: DataFrame, lists: DataFrame, df: DataFrame, queries_max_id: int,
+    k: int = 5, n_probe: int = 4,
+    vec_col: str = "embedding", key_col: str = "vec_id",
+) -> DataFrame:
+    """Search half of IVF-flat against a prebuilt (or persisted-and-
+    reloaded) index: a query scores the broadcast centroid table, probes
+    its ``n_probe`` nearest lists, and reranks exactly inside them.
+    Candidates ≈ n·P/K per query vs n for brute force."""
+    from pyspark.sql import Window
+
+    zq = quantized(df.where(F.col(key_col) < queries_max_id), vec_col, key_col)
+    probes = _nearest_centroids(
+        zq.withColumnRenamed(key_col, "query_id"), cents, "query_id", n_probe
     ).withColumnRenamed("centroid_id", "list_id")
 
     scored = (
@@ -331,6 +341,24 @@ def ann_ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "dot")
     )
+
+
+def ann_ivf_topk(
+    df: DataFrame, queries_max_id: int, corpus_max_id: int, k: int = 5,
+    centroid_mod: int = 16, n_probe: int = 4,
+    vec_col: str = "embedding", key_col: str = "vec_id",
+    index: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """IVF-flat approximate top-k — the second scale path next to LSH
+    (SURVEY §2.11: "an IVF or LSH-bucketed variant"). One-shot
+    composition of :func:`build_ivf_index` + :func:`ann_ivf_probe`;
+    pass a prebuilt/persisted ``index=(cents, lists)`` to amortize the
+    build across query batches."""
+    cents, lists = index if index is not None else build_ivf_index(
+        df, corpus_max_id, centroid_mod, vec_col, key_col
+    )
+    return ann_ivf_probe(cents, lists, df, queries_max_id, k, n_probe,
+                         vec_col, key_col)
 
 
 def plane_signs(n_planes: int, dim: int, table: int = 0) -> list[list[int]]:

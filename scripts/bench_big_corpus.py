@@ -89,6 +89,46 @@ def main() -> None:
                          "walls": [round(w, 2) for w in walls]}
         print(f"| {name} | {best:.1f}s | {rows:,} | {N / best:,.0f} |",
               flush=True)
+
+    # ---- IVF build/probe amortization (VERDICT r04 next-round #5):
+    # the one-shot ann_ivf wall above is dominated by the index build;
+    # a deployment builds ONCE (persisted, partitioned by list_id so a
+    # probe prunes partitions) and pays only the probe per query batch.
+    from lyrics_crawler_spark.operators.similarity import (
+        ann_ivf_probe, build_ivf_index,
+    )
+
+    idx = f"/tmp/lcs_big_ivf_{N}"
+    walls = []
+    for _ in range(2):  # warm + measured
+        t0 = time.time()
+        cents, lists = build_ivf_index(emb, N, centroid_mod=1024)
+        cents.write.mode("overwrite").parquet(idx + "/cents")
+        lists.repartition("list_id").write.mode("overwrite").partitionBy(
+            "list_id"
+        ).parquet(idx + "/lists")
+        walls.append(time.time() - t0)
+    results["ann_ivf_build_persist"] = {
+        "sec": round(walls[-1], 2), "rows": N,
+        "walls": [round(w, 2) for w in walls],
+    }
+    print(f"| ann_ivf_build_persist | {walls[-1]:.1f}s | {N:,} | "
+          f"{N / walls[-1]:,.0f} |", flush=True)
+
+    cents_r = spark.read.parquet(idx + "/cents")
+    lists_r = spark.read.parquet(idx + "/lists")
+    walls, rows = [], 0
+    for _ in range(3):
+        t0 = time.time()
+        rows = ann_ivf_probe(
+            cents_r, lists_r, emb, queries_max_id=200, k=5, n_probe=8
+        ).count()
+        walls.append(time.time() - t0)
+    best = min(walls[1:])
+    results["ann_ivf_probe_only"] = {"sec": round(best, 2), "rows": rows,
+                                     "walls": [round(w, 2) for w in walls]}
+    print(f"| ann_ivf_probe_only | {best:.1f}s | {rows:,} | {N / best:,.0f} |",
+          flush=True)
     print(json.dumps({
         "n_docs": N, "cpus": CPUS, "dim": DIM,
         "loadavg": os.getloadavg(), "results": results,

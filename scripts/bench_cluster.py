@@ -235,8 +235,18 @@ def main() -> None:
     # 1-vs-2-executor point separates engine coordination cost from the
     # box's 4-way DRAM collapse). BENCH.md's headline block is only
     # rewritten for the canonical (1, 4) north-rule pair.
-    lo, hi = (int(x) for x in
-              os.environ.get("LCS_CLUSTER_LEVELS", "1,4").split(","))
+    levels = os.environ.get("LCS_CLUSTER_LEVELS", "1,4").split(",")
+    # validate BEFORE the 40+ min runs start: '0,4' used to die in the
+    # efficiency division only after both full runs; '4,1' silently
+    # produced a nonsense ratio; 3 values raised an opaque unpack error
+    # (ADVICE r04).
+    if len(levels) != 2:
+        raise SystemExit(f"LCS_CLUSTER_LEVELS needs exactly 2 values, got {levels}")
+    lo, hi = (int(x) for x in levels)
+    if not 0 < lo < hi:
+        raise SystemExit(
+            f"LCS_CLUSTER_LEVELS must be 0 < lo < hi, got lo={lo} hi={hi}"
+        )
     try:
         wait_port(7077)
         r1 = run_level(lo, zip_path)
@@ -246,11 +256,13 @@ def main() -> None:
     m1, m4 = r1["measured"], r4["measured"]
     thru1, thru4 = m1["urls_per_sec"], m4["urls_per_sec"]
     eff = round((thru4 / thru1) / (hi / lo), 3)
+    # keys derived from the actual levels so a 2-way control run can
+    # never be read as a 4N claim (ADVICE r04)
     print(json.dumps({
         "metric": f"crawl throughput scaling, {lo} vs {hi} executors ({EXEC_CORES} cores each, pinned; driver isolated)",
-        "scale": SCALE, "urls": m1["urls"],
-        "runs_1exec": r1["runs"], "runs_4exec": r4["runs"],
-        "throughput_N": thru1, "throughput_4N": thru4,
+        "scale": SCALE, "urls": m1["urls"], "levels": [lo, hi],
+        f"runs_{lo}exec": r1["runs"], f"runs_{hi}exec": r4["runs"],
+        f"throughput_{lo}exec": thru1, f"throughput_{hi}exec": thru4,
         "scaling_efficiency": eff,
     }))
     if (lo, hi) != (1, 4):
@@ -280,6 +292,10 @@ are identical at both levels.
 
 - URLs fetched+parsed per run: **{m1["urls"]:,}** (documents merged: {m1["docs"]:,})
 - scaling efficiency (thru@4N / thru@N) / 4 = **{eff}** (target ≥ 0.8)
+- **single draw** — this box's 4N aggregate carries up to 1.66× same-night
+  window variance while N draws stay within 7%; read this number only
+  next to the "Efficiency vs scale" replicate table and the platform
+  ceiling control below.
 <!-- END bench_cluster -->"""
     path = os.path.join(REPO, "BENCH.md")
     begin, end = "<!-- BEGIN bench_cluster", "<!-- END bench_cluster -->"

@@ -244,3 +244,35 @@ def test_bmp_wav_codec_roundtrip():
     pa_, _, _, dur = synth_payload("http://a/y.mp3", "audio")
     rate, samples = decode_wav(pa_)
     assert len(samples) * 1000 // rate == dur
+
+
+def test_ivf_index_persist_roundtrip(spark, tmp_store):
+    """build_ivf_index → persist (partitioned by list_id) → reload →
+    ann_ivf_probe must equal the one-shot ann_ivf_topk exactly — the
+    amortization contract (VERDICT r04 next-round #5): at scale the
+    index is built once and every query batch probes the bucketed
+    files."""
+    from lyrics_crawler_spark.operators.similarity import (
+        ann_ivf_probe, ann_ivf_topk, build_ivf_index,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    one_shot = {
+        tuple(r) for r in ann_ivf_topk(
+            e, queries_max_id=10, corpus_max_id=300, k=5,
+            centroid_mod=16, n_probe=4,
+        ).collect()
+    }
+    cents, lists = build_ivf_index(e, corpus_max_id=300, centroid_mod=16)
+    cents.write.parquet(tmp_store + "/cents")
+    lists.repartition("list_id").write.partitionBy("list_id").parquet(
+        tmp_store + "/lists"
+    )
+    got = {
+        tuple(r) for r in ann_ivf_probe(
+            spark.read.parquet(tmp_store + "/cents"),
+            spark.read.parquet(tmp_store + "/lists"),
+            e, queries_max_id=10, k=5, n_probe=4,
+        ).collect()
+    }
+    assert got == one_shot and len(got) > 0
