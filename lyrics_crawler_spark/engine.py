@@ -80,26 +80,41 @@ from lyrics_crawler_spark.operators.priority import (
 )
 from lyrics_crawler_spark.operators.spans_sql import spans_expr
 from lyrics_crawler_spark.sitegen.graph import SiteGraph, SiteSpec
-from lyrics_crawler_spark.sources.fetch_stage import FETCH_SCHEMA, make_fetch_parse
+from lyrics_crawler_spark.sources.fetch_stage import (
+    FETCH_SCHEMA, UA_POOL, make_fetch_parse,
+)
 from lyrics_crawler_spark.tables.store import SnapshotStore
 
+# ---- bytes/row discipline (VERDICT r04 next-round #1) ----
+# The universal row key through the wave loop is (site_id int, url) —
+# site-RELATIVE url plus a 4-byte dictionary id into the broadcast site
+# dim. abs_url (= concat(site, url)), the site string, the host string
+# and the per-site delay are all pure functions of that key and are
+# reconstructed ONLY at the string edges (trace / documents sink /
+# seen) via a broadcast dim join. They used to ride every frontier /
+# fetch-log / carry row (~85-100 redundant bytes on a ~150-190 byte
+# row): at 4×8 bandwidth-starved cores the widest-wave foreground
+# scaled 1.67-1.73× on 4× cores, and bytes moved per row is the lever.
+
 FRONTIER_SCHEMA = (
-    "dfs_key string, url string, abs_url string, host string, site string, "
+    "dfs_key string, url string, site_id int, "
     "task_type int, depth int, movie string, movie_url string, artist string, "
     "album string, album_url string, song string, wave_enq int, cycle int, "
     "key_dec decimal(38,0)"
 )
 
 FETCH_LOG_SCHEMA = (
-    "abs_url string, wave int, attempt int, ok boolean, bytes long, "
-    "partition_id int, user_agent string, host string, delay_s double, "
+    "site_id int, url string, wave int, attempt int, ok boolean, bytes long, "
+    "partition_id int, ua_id int, "
     "children array<struct<url:string,label:string,child_type:int,album:string>>, "
     "d_album string, d_lyrics string, d_singers array<string>, "
     "d_directors array<string>, d_lyricists array<string>, d_other array<string>, "
     "cycle int"
 )
 
-RESOLVED_SCHEMA = "dfs_key string, abs_url string, action string, wave int, cycle int"
+RESOLVED_SCHEMA = (
+    "dfs_key string, site_id int, url string, action string, wave int, cycle int"
+)
 
 # politeness delay midpoint of randint(35, 60) (network_manager.py:44-46),
 # applied as *virtual* time — the engine never sleeps.
@@ -126,7 +141,7 @@ DOCS_SCHEMA = (
 # to be min-aggregated and ordered, and decimals keep those aggregates in
 # HashAggregate (string buffers degrade to SortAggregate — BENCH.md).
 PENDING_SCHEMA = (
-    "abs_url string, site string, host string, url string, task_type int, "
+    "site_id int, url string, task_type int, "
     "depth int, min_key decimal(38,0), n_fail long"
 )
 
@@ -137,7 +152,7 @@ PENDING_SCHEMA = (
 # occurrence (min dfs_key of the URL's first batch — the occurrence the
 # sequential reference pops first).
 UNRESOLVED_SCHEMA = (
-    "dfs_key string, abs_url string, site string, host string, url string, "
+    "dfs_key string, site_id int, url string, "
     "task_type int, depth int, movie string, artist string, "
     "is_exp boolean, url_ok boolean, n_prev long, "
     "children array<struct<url:string,label:string,child_type:int,album:string>>, "
@@ -146,7 +161,7 @@ UNRESOLVED_SCHEMA = (
 
 # one row per leaf occurrence awaiting its URL's parse
 LEAF_UNSAVED_SCHEMA = (
-    "dfs_key string, abs_url string, site string, host string, url string, "
+    "dfs_key string, site_id int, url string, "
     "task_type int, movie string, movie_url string, artist string, "
     "album string, album_url string, song string"
 )
@@ -159,9 +174,9 @@ LEAF_UNSAVED_SCHEMA = (
 # instead of rewriting the whole live worklist (VERDICT r02 missing #3).
 _CARRY_FRAME = ", w int, live boolean"
 _CARRY_KEYS = {
-    "pending": ["abs_url"],
-    "unresolved": ["dfs_key", "abs_url"],
-    "leaf_unsaved": ["dfs_key", "abs_url"],
+    "pending": ["site_id", "url"],
+    "unresolved": ["dfs_key", "site_id", "url"],
+    "leaf_unsaved": ["dfs_key", "site_id", "url"],
 }
 
 
@@ -260,7 +275,7 @@ class CrawlEngine:
             # "hash" versions the position derivation (round 3 moved to
             # JVM-computable double hashing); a store built with older
             # bitsets must not resume under the new probe.
-            {"bloom_seen": True, "hash": "xxh64-double-v3", **self._bloom_params}
+            {"bloom_seen": True, "hash": "xxh64-double-v4-siteid", **self._bloom_params}
             if bloom_seen
             else {"bloom_seen": False}
         )
@@ -510,12 +525,21 @@ class CrawlEngine:
         and their derived dimension tables."""
         self.specs = specs
         self.specs_by_site = {s.start_url: s for s in specs}
-        # site dimension (broadcast); host intentionally excluded — the
-        # frontier carries host, keeping joins unambiguous.
+        # site ids are positional in sorted(start_url) order: stable
+        # across resume (the spec SET is the resume contract) and
+        # independent of list order.
+        ordered = sorted(specs, key=lambda s: s.start_url)
+        self.site_ids = {s.start_url: i for i, s in enumerate(ordered)}
+        self.specs_by_id = {i: s for i, s in enumerate(ordered)}
+        # site dimension (broadcast): every per-site attribute lives
+        # HERE and joins back by the 4-byte site_id — host / delay /
+        # site string never ride frontier/fetch-log/carry rows.
         self.site_dim = self.spark.createDataFrame(
             [
                 (
+                    self.site_ids[s.start_url],
                     s.start_url,
+                    s.host,
                     s.dialect,
                     s.topology,
                     s.max_err,
@@ -524,14 +548,16 @@ class CrawlEngine:
                 )
                 for s in specs
             ],
-            "site string, dialect string, topology int, max_err int, "
-            "budget int, delay_s double",
+            "site_id int, site string, host string, dialect string, "
+            "topology int, max_err int, budget int, delay_s double",
         )
-        robots_rows = [(s.host, p) for s in specs for p in s.robots_disallow] or [
-            ("__none__", "__never__")
-        ]
+        robots_rows = [
+            (self.site_ids[s.start_url], p)
+            for s in specs
+            for p in s.robots_disallow
+        ] or [(-1, "__never__")]
         self.robots = self.spark.createDataFrame(
-            robots_rows, "host string, prefix string"
+            robots_rows, "site_id int, prefix string"
         )
         # static plan trims: when NO site declares a politeness budget /
         # robots rules, the per-host window / anti-join never changes the
@@ -575,12 +601,12 @@ class CrawlEngine:
 
     def visits(self, current_cycle_only: bool = False) -> DataFrame:
         return self.fetch_log(current_cycle_only).select(
-            "abs_url", "wave", "attempt", "ok", "cycle"
+            "site_id", "url", "wave", "attempt", "ok", "cycle"
         )
 
     def parsed_view(self, log: DataFrame) -> DataFrame:
         return log.where("ok").select(
-            "abs_url", "wave", "bytes", "children", "d_album", "d_lyrics",
+            "site_id", "url", "wave", "bytes", "children", "d_album", "d_lyrics",
             "d_singers", "d_directors", "d_lyricists", "d_other",
         )
 
@@ -600,6 +626,16 @@ class CrawlEngine:
             return None
         return self._with_timestamps(self._resolve_documents(log))
 
+    def abs_url_expr(self, site, url, topology, task_type):
+        """P18 reconstruction at the string edges: the reference's naive
+        concat with the CrawlerType1 artist-page '/' quirk
+        (functions/urls.py:compose_url; base_crawler.py:423). The wave
+        loop itself never materializes absolute URLs — (site_id, url)
+        is the key everywhere."""
+        return F.when(
+            (topology == 1) & (task_type == 1), F.concat(site, F.lit("/"), url)
+        ).otherwise(F.concat(site, url))
+
     def _with_timestamps(self, docs: DataFrame) -> DataFrame:
         """O2 metadata on a deterministic virtual clock (wave units —
         golden tests stay exact). Reference semantics:
@@ -617,14 +653,23 @@ class CrawlEngine:
         touches = (
             self.resolved()
             .where(F.col("action") == "skipped_no_new")
-            .groupBy(F.col("abs_url").alias("movie_abs"))
+            .groupBy(
+                F.col("site_id").alias("t_sid"), F.col("url").alias("movie_rel")
+            )
             .agg(F.max("wave").alias("touch_wave"))
+        )
+        sid = F.broadcast(
+            self.site_dim.select(
+                F.col("site").alias("start_url"), F.col("site_id").alias("d_sid")
+            )
         )
         return (
             docs.withColumn("last_updated", F.col("wave"))
+            .join(sid, "start_url", "left")
             .join(
                 touches,
-                F.concat(F.col("start_url"), F.col("movie_url")) == F.col("movie_abs"),
+                (F.col("d_sid") == F.col("t_sid"))
+                & (F.col("movie_url") == F.col("movie_rel")),
                 "left",
             )
             .withColumn(
@@ -634,7 +679,7 @@ class CrawlEngine:
                     F.coalesce(F.col("touch_wave"), F.lit(-1)),
                 ),
             )
-            .drop("movie_abs", "touch_wave")
+            .drop("d_sid", "t_sid", "movie_rel", "touch_wave")
         )
 
     @staticmethod
@@ -717,6 +762,15 @@ class CrawlEngine:
     def metrics(self) -> DataFrame | None:
         return self.store.read("metrics")
 
+    def user_agents(self) -> DataFrame:
+        """S7 view: the fetch log with its rotated UA string
+        materialized from the pool index (the log stores the 4-byte
+        index; the strings live in one broadcast-size dim)."""
+        ua = self.spark.createDataFrame(
+            list(enumerate(UA_POOL)), "ua_id int, user_agent string"
+        )
+        return self.fetch_log().join(F.broadcast(ua), "ua_id", "left")
+
     # ---------------- seeding (wave 0) ----------------
 
     def _seed_cycle(self, cycle: int, wave: int) -> None:
@@ -734,11 +788,11 @@ class CrawlEngine:
                 if not any(u.startswith(p) for p in spec.robots_disallow)
             ]
             n = len(allowed)
+            sid = self.site_ids[spec.start_url]
             for i, u in enumerate(allowed):
                 rows.append(
                     (
-                        seed_key(i, n), u, spec.start_url + u, spec.host,
-                        spec.start_url, 0, 0,
+                        seed_key(i, n), u, sid, 0, 0,
                         None, None, None, None, None, None, wave, cycle,
                         seed_key_dec(i, n),
                     )
@@ -748,14 +802,12 @@ class CrawlEngine:
         # carry tables: seeds are the initial pending worklist and (all
         # being non-leaf index pages) the initial unresolved occurrences;
         # a fresh cycle resets all three carries.
-        pend: dict[str, tuple] = {}
+        pend: dict[tuple, tuple] = {}
         for r in rows:
-            key_dec, url, abs_url, host, site, tt, depth = (
-                r[15], r[1], r[2], r[3], r[4], r[5], r[6]
-            )
-            old = pend.get(abs_url)
-            if old is None or key_dec < old[6]:
-                pend[abs_url] = (abs_url, site, host, url, tt, depth, key_dec, 0, wave, True)
+            key_dec, url, sid, tt, depth = r[13], r[1], r[2], r[3], r[4]
+            old = pend.get((sid, url))
+            if old is None or key_dec < old[4]:
+                pend[(sid, url)] = (sid, url, tt, depth, key_dec, 0, wave, True)
         staged.append(
             self.store.stage_replace(
                 "pending",
@@ -766,8 +818,8 @@ class CrawlEngine:
             )
         )
         unres = [
-            (r[0], r[2], r[4], r[3], r[1], r[5], r[6], None, None, False, False,
-             0, None, r[15], wave, True)
+            (r[0], r[2], r[1], r[3], r[4], None, None, False, False,
+             0, None, r[13], wave, True)
             for r in rows
         ]
         staged.append(
@@ -798,7 +850,9 @@ class CrawlEngine:
 
     @staticmethod
     def _url_state(V: DataFrame, by_cycle: bool = False) -> DataFrame:
-        keys = ["cycle", "abs_url"] if by_cycle else ["abs_url"]
+        keys = (
+            ["cycle", "site_id", "url"] if by_cycle else ["site_id", "url"]
+        )
         return V.groupBy(*keys).agg(
             F.max("ok").alias("has_ok"),
             F.sum(F.when(~F.col("ok"), 1).otherwise(0)).alias("n_fail"),
@@ -909,15 +963,15 @@ class CrawlEngine:
         # frontier table drives per-host politeness-bucketed fetch
         # waves"): one pre-aggregated row per live URL.
         pending = self._read_worklist("pending", PENDING_SCHEMA)
-        pend_dim = pending.join(dim, "site")
-        # per-site minimum pending depth: a window partitioned by `site`
+        pend_dim = pending.join(dim, "site_id")
+        # per-site minimum pending depth: a window partitioned by site
         # would funnel every pending row of a site through ONE task (site
         # cardinality is tiny) — use a map-side-combinable groupBy and
         # broadcast the per-site minima back instead (scales linearly).
-        site_min = pend_dim.groupBy("site").agg(
+        site_min = pend_dim.groupBy("site_id").agg(
             F.min("depth").alias("site_min_depth")
         )
-        at_depth = pend_dim.join(F.broadcast(site_min), "site").where(
+        at_depth = pend_dim.join(F.broadcast(site_min), "site_id").where(
             F.col("depth") == F.col("site_min_depth")
         )
         # politeness: per-host budget top-k by DFS key; uncapped hosts
@@ -936,21 +990,23 @@ class CrawlEngine:
         else:
             selected = at_depth
         wave_urls = selected.select(
-            "site", "abs_url", "url", "task_type", "host", "delay_s",
+            "site_id", "url", "task_type",
             F.col("n_fail").cast("int").alias("attempt"),
         )
-        # fetch+parse: repartition by URL hash = domain-salted spread.
-        # host/delay_s ride through the Arrow stage (echoed per row), so
-        # no join-back against the wave input is needed afterwards.
+        # fetch+parse: repartition by (site_id, url) hash = domain-salted
+        # spread (one hot host's URLs spread over every partition). Only
+        # the 4-byte id + relative url + two ints cross into Arrow; the
+        # absolute URL, host and delay are reconstructed/joined from the
+        # broadcast dim where actually needed.
         fetched = wave_urls.repartition(
-            self.fetch_partitions, "abs_url"
-        ).mapInPandas(make_fetch_parse(self.specs_by_site), FETCH_SCHEMA)
+            self.fetch_partitions, "site_id", "url"
+        ).mapInPandas(make_fetch_parse(self.specs_by_id), FETCH_SCHEMA)
         new_log_df = (
             fetched.withColumn("wave", F.lit(wave))
             .withColumn("cycle", F.lit(self.cycle))
             .selectExpr(
-                "abs_url", "wave", "attempt", "ok", "bytes", "partition_id",
-                "user_agent", "host", "delay_s", "children", "d_album",
+                "site_id", "url", "wave", "attempt", "ok", "bytes",
+                "partition_id", "ua_id", "children", "d_album",
                 "d_lyrics", "d_singers", "d_directors", "d_lyricists", "d_other",
                 "cycle",
             )
@@ -967,16 +1023,28 @@ class CrawlEngine:
         if new_log is not None:
             snapshot_id = log_entry["path"]
 
-            # per-wave, per-host, per-partition lineage metrics (O4)
+            # per-wave, per-host, per-partition lineage metrics (O4).
+            # host and delay no longer ride the log rows: aggregate on
+            # the (site_id, partition) grain first, then map through the
+            # broadcast dim and re-aggregate to the host grain (delay is
+            # a per-site constant, so Σ delay_s ≡ attempted × delay_s).
             def met():
                 return (
-                    new_log.groupBy("host", "partition_id")
+                    new_log.groupBy("site_id", "partition_id")
                     .agg(
-                        F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("urls_fetched"),
-                        F.sum(F.when(~F.col("ok"), 1).otherwise(0)).alias("errors"),
-                        F.sum(F.when(F.col("ok"), F.col("bytes")).otherwise(0)).alias("bytes"),
-                        F.sum("delay_s").alias("vtime_s"),
-                        F.count("*").alias("urls_attempted"),
+                        F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("uf"),
+                        F.sum(F.when(~F.col("ok"), 1).otherwise(0)).alias("er"),
+                        F.sum(F.when(F.col("ok"), F.col("bytes")).otherwise(0)).alias("by"),
+                        F.count("*").alias("ua_n"),
+                    )
+                    .join(dim.select("site_id", "host", "delay_s"), "site_id")
+                    .groupBy("host", "partition_id")
+                    .agg(
+                        F.sum("uf").alias("urls_fetched"),
+                        F.sum("er").alias("errors"),
+                        F.sum("by").alias("bytes"),
+                        F.sum(F.col("ua_n") * F.col("delay_s")).alias("vtime_s"),
+                        F.sum("ua_n").alias("urls_attempted"),
                     )
                     .withColumn("wave", F.lit(wave))
                     .withColumn("snapshot_id", F.lit(snapshot_id))
@@ -1005,7 +1073,9 @@ class CrawlEngine:
 
                 def bloom_next():
                     delta_bits = bloom_build(
-                        new_log.select(F.xxhash64("abs_url").alias("url_hash")),
+                        new_log.select(
+                            F.xxhash64("site_id", "url").alias("url_hash")
+                        ),
                         **self._bloom_params,
                     )
                     return bloom_merge(prev_bits.unionByName(delta_bits))
@@ -1024,24 +1094,28 @@ class CrawlEngine:
         prev_keys = (
             prev_docs.select(
                 F.col("start_url").alias("site"), F.col("song_url").alias("url")
-            ).distinct()
+            )
+            .distinct()
+            .join(dim.select("site_id", "site"), "site")
+            .select("site_id", "url")
             if prev_docs is not None
             else None
         )
 
         # -------- J2: resolution + fan-out, ONE foreground job --------
         # NB: DFS keys are only unique *within* a site (every site's first
-        # seed is 00000000) — all resolution joins key on (dfs_key, abs_url).
+        # seed is 00000000) — all resolution joins key on
+        # (dfs_key, site_id, url).
         unresolved = self._read_worklist("unresolved", UNRESOLVED_SCHEMA)
-        U = unresolved.join(dim, "site")
+        U = unresolved.join(dim, "site_id")
         if new_log is not None:
             # flip url_ok for occurrences whose URL parsed THIS wave
             # (same-wave expand) and attach their children.
             new_parses = self.parsed_view(new_log).select(
-                "abs_url", F.col("children").alias("new_children")
+                "site_id", "url", F.col("children").alias("new_children")
             )
             U = (
-                U.join(new_parses, "abs_url", "left")
+                U.join(new_parses, ["site_id", "url"], "left")
                 .withColumn(
                     "url_ok", F.col("url_ok") | F.col("new_children").isNotNull()
                 )
@@ -1052,7 +1126,7 @@ class CrawlEngine:
         D2 = self._memo("d2_resolution", self._build_d2_exprs)
         is_movie = D2["is_movie"]
         res_cols = [
-            "dfs_key", "abs_url", "site", "host", "url", "task_type",
+            "dfs_key", "site_id", "url", "task_type",
             "depth", "movie", "artist", "topology", "children", "action",
             "key_dec",
         ]
@@ -1072,40 +1146,40 @@ class CrawlEngine:
             "action", D2["imm_action"]
         )
         defer_check = movies.where(D2["defer_where"])
-        song_urls = defer_check.select(*D2["song_urls_sel"]).withColumn(
-            "child_abs", F.concat(F.col("site"), F.col("child_url"))
-        )
-        # child settlement probe: slim (abs_url, ok) scan of the cycle's
-        # attempt log, pre-filtered by the (small) deferred child set via
-        # a broadcast semi-join — the log is never shuffled. AQE's
-        # empty-relation propagation skips the scan entirely on waves
-        # with no deferred dups.
-        attempts = self.visits(True).select("abs_url", "ok")
+        song_urls = defer_check.select(*D2["song_urls_sel"])
+        # child settlement probe: slim (site_id, url, ok) scan of the
+        # cycle's attempt log, pre-filtered by the (small) deferred child
+        # set via a broadcast semi-join — the log is never shuffled.
+        # AQE's empty-relation propagation skips the scan entirely on
+        # waves with no deferred dups.
+        attempts = self.visits(True).select("site_id", "url", "ok")
         if new_log is not None:
-            attempts = attempts.unionByName(new_log.select("abs_url", "ok"))
-        child_keys = song_urls.select(F.col("child_abs").alias("abs_url")).distinct()
+            attempts = attempts.unionByName(
+                new_log.select("site_id", "url", "ok")
+            )
+        child_keys = song_urls.select(
+            "site_id", F.col("child_url").alias("url")
+        ).distinct()
         cs = (
-            attempts.join(F.broadcast(child_keys), "abs_url", "left_semi")
-            .groupBy("abs_url")
+            attempts.join(
+                F.broadcast(child_keys), ["site_id", "url"], "left_semi"
+            )
+            .groupBy("site_id", "url")
             .agg(*D2["cs_agg"])
-            .withColumnRenamed("abs_url", "child_abs")
+            .withColumnRenamed("url", "child_url")
         )
         song_state = (
-            song_urls.join(cs, "child_abs", "left")
+            song_urls.join(cs, ["site_id", "child_url"], "left")
             .withColumn("s_has_ok", F.coalesce("s_has_ok", F.lit(False)))
             .withColumn("s_n_fail", F.coalesce("s_n_fail", F.lit(0)))
         )
         if prev_docs is not None:
             child_prev = (
-                prev_docs.select(
-                    F.col("start_url").alias("site"),
-                    F.col("song_url").alias("child_url"),
-                )
-                .distinct()
+                prev_keys.withColumnRenamed("url", "child_url")
                 .withColumn("prev_doc", F.lit(True))
             )
             song_state = song_state.join(
-                child_prev, ["site", "child_url"], "left"
+                child_prev, ["site_id", "child_url"], "left"
             ).withColumn("prev_doc", F.coalesce("prev_doc", F.lit(False)))
         else:
             song_state = song_state.withColumn("prev_doc", F.lit(False))
@@ -1113,14 +1187,14 @@ class CrawlEngine:
             "settled", D2["settled"]
         ).withColumn("newly_saved", D2["newly_saved"])
         dup_decided = (
-            song_state.groupBy("dfs_key", "abs_url", "L", "n_prev")
+            song_state.groupBy("dfs_key", "site_id", "url", "L", "n_prev")
             .agg(*D2["dup_agg"])
             .where(F.col("all_settled") == 1)
             .withColumn("action", D2["dup_action"])
-            .select("dfs_key", "abs_url", "action")
+            .select("dfs_key", "site_id", "url", "action")
         )
         dup_full = defer_check.drop("action").join(
-            dup_decided, ["dfs_key", "abs_url"]
+            dup_decided, ["dfs_key", "site_id", "url"]
         )
         res = (
             res_others.select(*res_cols)
@@ -1134,7 +1208,7 @@ class CrawlEngine:
         self._stage_append_bg(
             "resolved",
             res.select(
-                "dfs_key", "abs_url", "action",
+                "dfs_key", "site_id", "url", "action",
                 F.lit(wave).alias("wave"), F.lit(self.cycle).alias("cycle"),
             ),
             wave,
@@ -1151,21 +1225,21 @@ class CrawlEngine:
             .select(*X["explode_sel"])
             .select(*X["child_sel"])
         )
-        kids_abs = kids_raw.withColumn("c_abs", X["c_abs"]).withColumn(
-            "c_path", X["c_path"]
-        )
-        # robots Disallow: broadcast anti-join on (host, path prefix);
-        # statically elided when no site declares rules.
+        # robots Disallow: broadcast anti-join on (site_id, path
+        # prefix); statically elided when no site declares rules. The
+        # path is derived from the relative url + the P18 '/' quirk —
+        # no absolute URL is ever materialized in the fan-out.
         if self._any_robots:
-            rb = F.broadcast(self.robots).withColumnRenamed("host", "r_host")
-            kids_ok = kids_abs.join(
+            kids_path = kids_raw.withColumn("c_path", X["c_path"])
+            rb = F.broadcast(self.robots).withColumnRenamed("site_id", "r_sid")
+            kids_ok = kids_path.join(
                 rb,
-                (kids_abs["host"] == F.col("r_host"))
-                & kids_abs["c_path"].startswith(F.col("prefix")),
+                (kids_path["site_id"] == F.col("r_sid"))
+                & kids_path["c_path"].startswith(F.col("prefix")),
                 "left_anti",
             )
         else:
-            kids_ok = kids_abs
+            kids_ok = kids_raw
         # LIFO rank AFTER the filter (survivors keep relative pop order)
         kids = (
             kids_ok.withColumn("rank", X["rank"])
@@ -1198,14 +1272,15 @@ class CrawlEngine:
         # plans over these pre-read inputs.
         PM = self._memo("pending_merge", self._build_pending_merge_exprs)
         if new_log is not None:
-            log_agg = new_log.groupBy("abs_url").agg(*PM["log_agg"])
-            old_side = pending.join(log_agg, "abs_url", "left").select(
-                *PM["old_side_logged"]
-            )
+            log_agg = new_log.groupBy("site_id", "url").agg(*PM["log_agg"])
+            old_side = pending.join(
+                log_agg, ["site_id", "url"], "left"
+            ).select(*PM["old_side_logged"])
         else:
             old_side = pending.select(*PM["old_side_plain"])
         undecided = defer_check.join(
-            dup_decided.select("dfs_key", "abs_url"), ["dfs_key", "abs_url"],
+            dup_decided.select("dfs_key", "site_id", "url"),
+            ["dfs_key", "site_id", "url"],
             "left_anti",
         )
         lu = self._read_worklist("leaf_unsaved", LEAF_UNSAVED_SCHEMA)
@@ -1218,13 +1293,17 @@ class CrawlEngine:
             # documents MERGE, waiting-leaf path: depends only on this
             # wave's parses — submitted before J2 even finishes.
             self._merge_documents(
-                lu.join(dim, "site").join(new_details, "abs_url"), wave, bg
+                lu.join(dim, "site_id").join(
+                    new_details, ["site_id", "url"]
+                ),
+                wave,
+                bg,
             )
         else:
             new_details = None
         # pre-read parse history for the late-dup lookups (kid thunks)
         parse_hist = self.parsed_view(self.fetch_log(True)).select(
-            "abs_url", "children"
+            "site_id", "url", "children"
         )
         detail_hist = (
             self.parsed_view(self.fetch_log(True))
@@ -1233,7 +1312,7 @@ class CrawlEngine:
         )
         if new_log is not None:
             parse_hist = parse_hist.unionByName(
-                self.parsed_view(new_log).select("abs_url", "children")
+                self.parsed_view(new_log).select("site_id", "url", "children")
             )
             detail_hist = detail_hist.unionByName(new_details)
         _t = _tick('prekids-submit', _t)
@@ -1269,45 +1348,47 @@ class CrawlEngine:
         # the maybe-seen side (false positives resolved exactly); the
         # fallback is one slim full-log aggregate.
         if n_kids > 0:
-            # site/host/url/task_type are functions of abs_url, so they
-            # ride as GROUP KEYS (arbitrary-width keys are fine in a hash
-            # map) and both buffers stay fixed-width numerics — this agg
-            # is a map-side-combinable HashAggregate. The obvious
-            # first(site)/min(dfs_key) spelling has string buffers, which
+            # task_type is a function of (site_id, url), so it rides as
+            # a GROUP KEY (arbitrary-width keys are fine in a hash map)
+            # and both buffers stay fixed-width numerics — this agg is a
+            # map-side-combinable HashAggregate. The obvious
+            # first()/min(dfs_key) spelling has string buffers, which
             # silently degrades to SortAggregate: one such stage burned
             # 300s+ of pure GC per scale-8 crawl at 32 threads (BENCH.md).
-            kid_urls = new_kids.groupBy(
-                "abs_url", "site", "host", "url", "task_type"
-            ).agg(
+            kid_urls = new_kids.groupBy("site_id", "url", "task_type").agg(
                 F.min("depth").alias("depth"),
                 F.min("key_dec").alias("min_key"),
             )
-            hist_attempts = self.visits(True).select("abs_url", "ok")
+            hist_attempts = self.visits(True).select("site_id", "url", "ok")
             if self.bloom_seen:
                 from lyrics_crawler_spark.operators.urlseen import (
                     BLOOM_SCHEMA, seen_split,
                 )
 
                 bloom = self._read_carry("url_bloom", BLOOM_SCHEMA)
-                hashed = kid_urls.withColumn("url_hash", F.xxhash64("abs_url"))
+                hashed = kid_urls.withColumn(
+                    "url_hash", F.xxhash64("site_id", "url")
+                )
                 _new_side, maybe_side = seen_split(hashed, bloom, **self._bloom_params)
                 # definite bloom misses provably have no committed
                 # attempts — only the maybe side pays the history scan.
                 hist_attempts = hist_attempts.join(
-                    F.broadcast(maybe_side.select("abs_url")), "abs_url", "left_semi"
+                    F.broadcast(maybe_side.select("site_id", "url")),
+                    ["site_id", "url"],
+                    "left_semi",
                 )
             if new_log is not None:
                 # this wave's outcomes are not yet committed (nor in the
                 # bloom): always union them in.
                 hist_attempts = hist_attempts.unionByName(
-                    new_log.select("abs_url", "ok")
+                    new_log.select("site_id", "url", "ok")
                 )
-            kstate = hist_attempts.groupBy("abs_url").agg(
+            kstate = hist_attempts.groupBy("site_id", "url").agg(
                 F.max("ok").alias("k_has_ok"),
                 F.sum(F.when(~F.col("ok"), 1).otherwise(0)).alias("k_n_fail"),
             )
             kids_checked = (
-                kid_urls.join(kstate, "abs_url", "left")
+                kid_urls.join(kstate, ["site_id", "url"], "left")
                 .withColumn("k_has_ok", F.coalesce("k_has_ok", F.lit(False)))
                 .withColumn("k_n_fail", F.coalesce("k_n_fail", F.lit(0)))
                 .persist()
@@ -1339,7 +1420,7 @@ class CrawlEngine:
                 # cross-cycle exists_song (base_crawler.py:195-202,
                 # :442-449): a Type0/1 song saved in an earlier cycle is
                 # skipped without a fetch; Type2 leaves always re-fetch (D4).
-                kd = kid_side.join(dim.select("site", "topology"), "site")
+                kd = kid_side.join(dim.select("site_id", "topology"), "site_id")
                 is_leaf01 = self._leaf(
                     F.col("topology"), F.col("task_type")
                 ) & F.col("topology").isin(0, 1)
@@ -1347,7 +1428,7 @@ class CrawlEngine:
                     kd.where(~is_leaf01)
                     .unionByName(
                         kd.where(is_leaf01).join(
-                            prev_keys, ["site", "url"], "left_anti"
+                            prev_keys, ["site_id", "url"], "left_anti"
                         )
                     )
                     .drop("topology")
@@ -1357,15 +1438,15 @@ class CrawlEngine:
         for s in sides[1:]:
             allsides = allsides.unionByName(s)
         merged = (
-            allsides.groupBy("abs_url", "site", "host", "url", "task_type")
+            allsides.groupBy("site_id", "url", "task_type")
             .agg(*PM["merge_agg"])
             .withColumn("n_fail", PM["n_fail"])
-            .join(dim.select("site", "max_err"), "site")
+            .join(dim.select("site_id", "max_err"), "site_id")
             .persist()
         )
         persisted.append(merged)
         pend_cols = [
-            "abs_url", "site", "host", "url", "task_type", "depth",
+            "site_id", "url", "task_type", "depth",
             "min_key", "n_fail",
         ]
         pend_live = ~F.col("has_ok_any") & (F.col("n_fail") < F.col("max_err"))
@@ -1387,12 +1468,12 @@ class CrawlEngine:
             (F.col("dfail") > 0)
             & ~F.col("has_ok_any")
             & (F.col("n_fail") >= F.col("max_err"))
-        ).select("abs_url")
+        ).select("site_id", "url")
 
         # ---- unresolved' (background thunk — `undecided` was built
         # pre-J2; kn and the unions are composed on the worker thread) --
         unres_cols = [
-            "dfs_key", "abs_url", "site", "host", "url", "task_type", "depth",
+            "dfs_key", "site_id", "url", "task_type", "depth",
             "movie", "artist", "is_exp", "url_ok", "n_prev", "children",
             "key_dec",
         ]
@@ -1402,11 +1483,13 @@ class CrawlEngine:
             called when kids_checked is not None; shared by the replace
             and delta thunks (exactly one of which runs)."""
             kn = (
-                new_kids.join(dim, "site")
+                new_kids.join(dim, "site_id")
                 .where(self._nonleaf(F.col("topology"), F.col("task_type")))
                 .join(
-                    kids_checked.select("abs_url", "k_has_ok", "k_n_fail"),
-                    "abs_url",
+                    kids_checked.select(
+                        "site_id", "url", "k_has_ok", "k_n_fail"
+                    ),
+                    ["site_id", "url"],
                 )
                 # dead-URL occurrences never resolve — don't insert them
                 .where(F.col("k_has_ok") | (F.col("k_n_fail") < F.col("max_err")))
@@ -1420,15 +1503,15 @@ class CrawlEngine:
             # HashAggregate; min(string dfs_key) would SortAggregate)
             batch_min = (
                 kn.where(kid_is_movie)
-                .groupBy("abs_url")
+                .groupBy("site_id", "url")
                 .agg(F.min("key_dec").alias("batch_min"))
             )
-            known_movies = U.where(is_movie).select("abs_url").distinct()
+            known_movies = U.where(is_movie).select("site_id", "url").distinct()
             kn = (
-                kn.join(F.broadcast(batch_min), "abs_url", "left")
+                kn.join(F.broadcast(batch_min), ["site_id", "url"], "left")
                 .join(
                     known_movies.withColumn("known", F.lit(True)),
-                    "abs_url",
+                    ["site_id", "url"],
                     "left",
                 )
                 .withColumn(
@@ -1444,11 +1527,11 @@ class CrawlEngine:
             # attach their children from page history now (rare rows —
             # broadcast-filtered lookup over the pre-read parse history;
             # the log is never shuffled).
-            ok_urls = kn.where("k_has_ok").select("abs_url").distinct()
+            ok_urls = kn.where("k_has_ok").select("site_id", "url").distinct()
             kid_children = parse_hist.join(
-                F.broadcast(ok_urls), "abs_url", "left_semi"
+                F.broadcast(ok_urls), ["site_id", "url"], "left_semi"
             )
-            kn = kn.join(kid_children, "abs_url", "left").withColumn(
+            kn = kn.join(kid_children, ["site_id", "url"], "left").withColumn(
                 "url_ok", F.col("k_has_ok")
             )
             if prev_docs is not None:
@@ -1462,8 +1545,10 @@ class CrawlEngine:
                         F.col("movie_url").alias("url"),
                     )
                     .agg(F.countDistinct("song_url").alias("n_prev"))
+                    .join(dim.select("site_id", "site"), "site")
+                    .select("site_id", "url", "n_prev")
                 )
-                kn = kn.join(n_prev_df, ["site", "url"], "left").withColumn(
+                kn = kn.join(n_prev_df, ["site_id", "url"], "left").withColumn(
                     "n_prev", F.coalesce("n_prev", F.lit(0))
                 )
             else:
@@ -1473,7 +1558,7 @@ class CrawlEngine:
         def unres_next() -> DataFrame:
             parts = [
                 U.where(~F.col("url_ok"))
-                .join(newly_dead, "abs_url", "left_anti")
+                .join(newly_dead, ["site_id", "url"], "left_anti")
                 .select(*unres_cols),
                 undecided.select(*unres_cols),
             ]
@@ -1499,7 +1584,7 @@ class CrawlEngine:
             ).unionByName(
                 self._tombstones(
                     U.where(~F.col("url_ok")).join(
-                        newly_dead, "abs_url", "left_semi"
+                        newly_dead, ["site_id", "url"], "left_semi"
                     ),
                     UNRESOLVED_SCHEMA,
                     _CARRY_KEYS["unresolved"],
@@ -1517,17 +1602,21 @@ class CrawlEngine:
         # virtual clock).
         if kids_checked is not None:
             kl = (
-                new_kids.join(dim, "site")
+                new_kids.join(dim, "site_id")
                 .where(self._leaf(F.col("topology"), F.col("task_type")))
                 .join(
-                    kids_checked.select("abs_url", "k_has_ok", "k_n_fail"),
-                    "abs_url",
+                    kids_checked.select(
+                        "site_id", "url", "k_has_ok", "k_n_fail"
+                    ),
+                    ["site_id", "url"],
                 )
             )
             if prev_keys is not None:
                 is_leaf01 = F.col("topology").isin(0, 1)
                 kl = kl.where(~is_leaf01).unionByName(
-                    kl.where(is_leaf01).join(prev_keys, ["site", "url"], "left_anti")
+                    kl.where(is_leaf01).join(
+                        prev_keys, ["site_id", "url"], "left_anti"
+                    )
                 )
             # late path: leaf kid of an already-parsed URL saves now with
             # the historical parse (broadcast-filtered lookup over the
@@ -1536,17 +1625,17 @@ class CrawlEngine:
 
             def late_delta():
                 late_details = detail_hist.join(
-                    F.broadcast(late.select("abs_url").distinct()),
-                    "abs_url",
+                    F.broadcast(late.select("site_id", "url").distinct()),
+                    ["site_id", "url"],
                     "left_semi",
                 )
-                return late.join(late_details, "abs_url")
+                return late.join(late_details, ["site_id", "url"])
 
             self._merge_documents(late_delta, wave, bg)
         else:
             kl = None
         lu_cols = [
-            "dfs_key", "abs_url", "site", "host", "url", "task_type",
+            "dfs_key", "site_id", "url", "task_type",
             "movie", "movie_url", "artist", "album", "album_url", "song",
         ]
         kl_live = ~F.col("k_has_ok") & (F.col("k_n_fail") < F.col("max_err"))
@@ -1554,9 +1643,11 @@ class CrawlEngine:
         def lu_base() -> DataFrame:
             if new_log is not None:
                 return lu.join(
-                    new_details.select("abs_url"), "abs_url", "left_anti"
-                ).join(newly_dead, "abs_url", "left_anti")
-            return lu.join(newly_dead, "abs_url", "left_anti")
+                    new_details.select("site_id", "url"),
+                    ["site_id", "url"],
+                    "left_anti",
+                ).join(newly_dead, ["site_id", "url"], "left_anti")
+            return lu.join(newly_dead, ["site_id", "url"], "left_anti")
 
         def lu_next() -> DataFrame:
             out = lu_base().select(*lu_cols)
@@ -1567,10 +1658,14 @@ class CrawlEngine:
         def lu_delta() -> DataFrame:
             # delta = new waiting leaf occurrences + tombstones for rows
             # whose URL saved this wave or died this wave.
-            tomb_src = lu.join(newly_dead, "abs_url", "left_semi")
+            tomb_src = lu.join(newly_dead, ["site_id", "url"], "left_semi")
             if new_log is not None:
                 tomb_src = tomb_src.unionByName(
-                    lu.join(new_details.select("abs_url"), "abs_url", "left_semi")
+                    lu.join(
+                        new_details.select("site_id", "url"),
+                        ["site_id", "url"],
+                        "left_semi",
+                    )
                 )
             d = self._tombstones(
                 tomb_src, LEAF_UNSAVED_SCHEMA, _CARRY_KEYS["leaf_unsaved"]
@@ -1695,7 +1790,10 @@ class CrawlEngine:
             sel_pre = [
                 F.col("site").alias("start_url"),
                 F.col("url").alias("song_url"),
-                F.col("abs_url").alias("doc_id"),
+                # doc_id = the song occurrence's absolute URL: plain
+                # concat for every topology (leaves are never the
+                # topo-1 artist quirk case — functions/urls.py)
+                F.concat(F.col("site"), F.col("url")).alias("doc_id"),
                 F.col("host"),
                 F.col("topology"),
                 F.col("song_u").alias("song"),
@@ -1731,7 +1829,7 @@ class CrawlEngine:
             & (F.col("n_prev") != F.col("L")),
             "song_urls_sel": [
                 F.col(c)
-                for c in ("dfs_key", "abs_url", "site", "max_err", "L", "n_prev")
+                for c in ("dfs_key", "site_id", "url", "max_err", "L", "n_prev")
             ] + [
                 F.explode(
                     F.array_distinct(F.transform("children", lambda c: c["url"]))
@@ -1759,7 +1857,7 @@ class CrawlEngine:
         """Wave-invariant expression trees of the pending' merge; see
         :meth:`_memo` and the in-line comments at the call site (the
         HashAggregate-vs-SortAggregate buffer story lives there)."""
-        keys = ["abs_url", "site", "host", "url", "task_type", "depth"]
+        keys = ["site_id", "url", "task_type", "depth"]
         return {
             "log_agg": [
                 F.max("ok").alias("w_ok"),
@@ -1801,14 +1899,14 @@ class CrawlEngine:
                 F.col("dfs_key").alias("parent_key"),
                 F.col("key_dec").alias("parent_dec"),
                 F.col("url").alias("parent_url"),
-                F.col("site"), F.col("host"), F.col("topology"), F.col("depth"),
+                F.col("site_id"), F.col("topology"), F.col("depth"),
                 F.col("movie").alias("p_movie"),
                 F.col("artist").alias("p_artist"),
                 F.posexplode("children").alias("pos", "child"),
             ],
             "child_sel": [
                 F.col(c) for c in (
-                    "parent_key", "parent_dec", "parent_url", "site", "host",
+                    "parent_key", "parent_dec", "parent_url", "site_id",
                     "topology", "depth", "pos", "p_movie", "p_artist",
                 )
             ] + [
@@ -1817,11 +1915,14 @@ class CrawlEngine:
                 F.col("child.child_type").alias("c_type"),
                 F.col("child.album").alias("c_album"),
             ],
-            "c_abs": F.when(
+            # site-relative path of the child (the P18 '/' quirk inserts
+            # the separator the topo-1 artist links lack); sites are
+            # scheme://host with no path component (SiteSpec contract),
+            # so this equals abs_url minus scheme://host.
+            "c_path": F.when(
                 (F.col("topology") == 1) & (F.col("c_type") == 1),
-                F.concat(F.col("site"), F.lit("/"), F.col("c_url")),
-            ).otherwise(F.concat(F.col("site"), F.col("c_url"))),
-            "c_path": F.regexp_replace("c_abs", r"^https?://[^/]+", ""),
+                F.concat(F.lit("/"), F.col("c_url")),
+            ).otherwise(F.col("c_url")),
             "rank": F.row_number().over(wpar) - 1,
             "c_key": child_key(F.col("parent_key"), F.col("rank")),
             "c_key_dec": child_key_dec(
@@ -1830,8 +1931,7 @@ class CrawlEngine:
             "frontier_sel": [
                 F.col("c_key").alias("dfs_key"),
                 F.col("c_url").alias("url"),
-                F.col("c_abs").alias("abs_url"),
-                F.col("host"), F.col("site"),
+                F.col("site_id"),
                 F.col("c_type").alias("task_type"),
                 (F.col("depth") + 1).alias("depth"),
                 F.when(
@@ -1920,17 +2020,17 @@ class CrawlEngine:
         """Reconstruct the totally-ordered single-threaded visit trace
         (golden contract). Only valid on a finished run."""
         dim = F.broadcast(self.site_dim)
-        occ = self.frontier().join(dim, "site")
+        occ = self.frontier().join(dim, "site_id")
         # URL state is per-cycle (fresh retry ladders each re-crawl pass);
         # each occurrence joins its own cycle's ladder.
         us = self._url_state(self.visits(), by_cycle=True)
         occ = (
-            occ.join(us, ["cycle", "abs_url"], "left")
+            occ.join(us, ["cycle", "site_id", "url"], "left")
             .withColumn("has_ok", F.coalesce("has_ok", F.lit(False)))
             .withColumn("n_fail", F.coalesce("n_fail", F.lit(0)))
         )
         is_leaf = self._leaf(F.col("topology"), F.col("task_type"))
-        wleaf = Window.partitionBy("abs_url")
+        wleaf = Window.partitionBy("site_id", "url")
         # cross-cycle facts per URL: whether it EVER fetched ok (a Type0/1
         # leaf saved in cycle 1 is not re-fetched in cycle 2 but is very
         # much not dead), and the first-ever leaf occurrence (the saver —
@@ -1945,9 +2045,10 @@ class CrawlEngine:
             )
             .join(
                 self.resolved().select(
-                    "cycle", "dfs_key", "abs_url", F.col("action").alias("res_action")
+                    "cycle", "dfs_key", "site_id", "url",
+                    F.col("action").alias("res_action"),
                 ),
-                ["cycle", "dfs_key", "abs_url"],
+                ["cycle", "dfs_key", "site_id", "url"],
                 "left",
             )
         )

@@ -29,7 +29,6 @@ import pandas as pd
 from pyspark.sql.types import (
     ArrayType,
     BooleanType,
-    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -56,12 +55,19 @@ CHILD_TYPE = StructType(
 
 FETCH_SCHEMA = StructType(
     [
-        StructField("abs_url", StringType()),
+        # (site_id, url) is the engine's universal row key: the absolute
+        # URL, host and delay never cross the Arrow boundary (bytes/row
+        # on the widest-wave foreground is the 4N scaling lever —
+        # BENCH.md). The UA pick is S7's deterministic rotation, stored
+        # as the 4-byte pool index; `engine.user_agents` rebuilds the
+        # string view.
+        StructField("site_id", IntegerType()),
+        StructField("url", StringType()),
         StructField("attempt", IntegerType()),
         StructField("ok", BooleanType()),
         StructField("bytes", LongType()),
         StructField("partition_id", IntegerType()),
-        StructField("user_agent", StringType()),
+        StructField("ua_id", IntegerType()),
         StructField("children", ArrayType(CHILD_TYPE)),
         StructField("d_album", StringType()),
         StructField("d_lyrics", StringType()),
@@ -69,11 +75,6 @@ FETCH_SCHEMA = StructType(
         StructField("d_directors", ArrayType(StringType())),
         StructField("d_lyricists", ArrayType(StringType())),
         StructField("d_other", ArrayType(StringType())),
-        # pass-through columns (host politeness bucket + virtual delay):
-        # echoing them through the Arrow stage saves the engine a
-        # join-back against the wave input (one shuffle per wave).
-        StructField("host", StringType()),
-        StructField("delay_s", DoubleType()),
     ]
 )
 
@@ -118,26 +119,34 @@ def normalize_children(topology: int, task_type: int, parsed: dict) -> list[dict
     return out
 
 
-def make_fetch_parse(specs_by_site: dict):
-    """Build the mapInPandas function. ``specs_by_site`` maps start_url →
-    SiteSpec and rides to executors inside the closure (small broadcast)."""
+def make_fetch_parse(specs_by_id: dict):
+    """Build the mapInPandas function. ``specs_by_id`` maps site_id →
+    SiteSpec and rides to executors inside the closure (small broadcast).
+    The absolute URL exists only INSIDE this stage (reconstructed via
+    compose_url — P18 quirk included — for the simulated HTTP client and
+    the UA hash); only (site_id, url) + outcomes cross back."""
 
     def fetch_parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
 
-        graphs: dict[str, SiteGraph] = {}
+        from lyrics_crawler_spark.functions.urls import compose_url
+
+        graphs: dict[int, SiteGraph] = {}
         pid = TaskContext.get().partitionId() if TaskContext.get() else -1
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                spec = specs_by_site[r.site]
-                graph = graphs.setdefault(r.site, SiteGraph(spec))
-                ua = UA_POOL[stable_hash("ua", r.abs_url) % len(UA_POOL)]
+                spec = specs_by_id[r.site_id]
+                graph = graphs.setdefault(r.site_id, SiteGraph(spec))
+                abs_url = compose_url(
+                    spec.start_url, r.url, spec.topology, int(r.task_type)
+                )
                 base = {
-                    "abs_url": r.abs_url,
+                    "site_id": int(r.site_id),
+                    "url": r.url,
                     "attempt": int(r.attempt),
                     "partition_id": pid,
-                    "user_agent": ua,
+                    "ua_id": stable_hash("ua", abs_url) % len(UA_POOL),
                     "children": None,
                     "d_album": None,
                     "d_lyrics": None,
@@ -145,13 +154,11 @@ def make_fetch_parse(specs_by_site: dict):
                     "d_directors": None,
                     "d_lyricists": None,
                     "d_other": None,
-                    "host": r.host,
-                    "delay_s": float(r.delay_s),
                 }
                 try:
                     # the reference catches *any* exception and requeues
                     # (base_crawler.py:102-110) — so do we.
-                    html = graph.fetch(r.abs_url, int(r.attempt))
+                    html = graph.fetch(abs_url, int(r.attempt))
                     parsed = parse_page(
                         spec.dialect, spec.topology, int(r.task_type), html
                     )

@@ -31,8 +31,8 @@ METRICS_SCHEMA = (
 )
 
 FETCH_LOG_STREAM_SCHEMA = (
-    "abs_url string, wave int, attempt int, ok boolean, bytes long, "
-    "partition_id int, user_agent string, host string, delay_s double"
+    "site_id int, url string, wave int, attempt int, ok boolean, "
+    "bytes long, partition_id int, ua_id int"
 )
 
 

@@ -42,15 +42,12 @@ def test_delta_mode_commits_deltas_not_state(spark, tmp_store):
     # single delta's row count by construction
     import pyspark.sql.functions as F  # noqa: F811
 
+    from lyrics_crawler_spark.engine import PENDING_SCHEMA
+
     last_delta = spark.read.schema(
-        "abs_url string, site string, host string, url string, task_type int,"
-        " depth int, min_key decimal(38,0), n_fail long, w int, live boolean"
+        PENDING_SCHEMA + ", w int, live boolean"
     ).parquet(paths[-1])
-    live = eng._read_worklist(
-        "pending",
-        "abs_url string, site string, host string, url string, task_type int,"
-        " depth int, min_key decimal(38,0), n_fail long",
-    )
+    live = eng._read_worklist("pending", PENDING_SCHEMA)
     assert last_delta.count() < live.count()
 
 
@@ -162,13 +159,20 @@ def test_delta_mode_all_dialects_recrawl(spark, tmp_store):
     assert docs1 == docs2
     # cycle-2 touched only non-leaf pages (Type0/1); no Type0/1 leaf
     # re-fetch happened (exists_song skip held through delta carries)
+    doc_keys = (
+        eng.documents()
+        .select("start_url", F.col("song_url").alias("url"), "topology")
+        .join(
+            eng.site_dim.select(
+                "site_id", F.col("site").alias("start_url")
+            ),
+            "start_url",
+        )
+    )
     refetched = (
         eng.fetch_log()
         .where(F.col("cycle") == 1)
-        .join(
-            eng.documents().select(F.col("doc_id").alias("abs_url"), "topology"),
-            "abs_url",
-        )
+        .join(doc_keys, ["site_id", "url"])
         .where(F.col("topology").isin(0, 1))
         .count()
     )

@@ -63,7 +63,9 @@ def _assert_cycles_golden(oracles, eng):
     n_late_touched = 0
     for site, o in oracles.items():
         eng_touches = sorted(
-            (r.abs_url[len(site):], r.cycle) for r in res if r.abs_url.startswith(site)
+            (r.url, r.cycle)
+            for r in res
+            if r.site_id == eng.site_ids[site]
         )
         assert eng_touches == sorted(o.touches), f"touch-set mismatch for {site}"
         # a doc touched in a LATER cycle than its last save must show the

@@ -77,6 +77,7 @@ def test_politeness_budget_caps_wave_fetches(spark, tmp_store):
     oracles, eng = assert_golden(spark, [spec], tmp_store)
     per_wave = (
         eng.fetch_log()
+        .join(eng.site_dim.select("site_id", "host"), "site_id")
         .groupBy("wave", "host")
         .agg(F.count("*").alias("n"))
         .collect()
