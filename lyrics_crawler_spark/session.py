@@ -62,6 +62,21 @@ def get_spark(
         # ParallelGC cut the local[32] crawl wall 142s → 103s.
         .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
+        # codec audit (round 5, scripts/bench_bytes.py at crawl scale 8):
+        # zstd on shuffle + parquet cuts shuffle-write bytes 44.5%
+        # (420.2 -> 233.1 MB), the widest-stage shuffle 46.6% and sink
+        # output 33% at identical row counts, wall-neutral at N on this
+        # box — and bytes through the one DRAM bus are exactly the 4N
+        # starvation term (BENCH.md platform ceiling). Override via
+        # LCS_IO_CODEC / LCS_PARQUET_CODEC.
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("LCS_IO_CODEC", "zstd"),
+        )
+        .config(
+            "spark.sql.parquet.compression.codec",
+            os.environ.get("LCS_PARQUET_CODEC", "zstd"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

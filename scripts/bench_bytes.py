@@ -48,6 +48,7 @@ def main() -> None:
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": f"file://{evdir}",
+            **json.loads(os.environ.get("LCS_BYTES_CONF", "{}")),
         },
     )
     try:
@@ -61,13 +62,27 @@ def main() -> None:
 
     sw = sr = inp = out = 0
     stage_sw: dict[int, int] = {}
+    stage_scope: dict[int, str] = {}
     for app in os.listdir(evdir):
         for line in _iter_lines(os.path.join(evdir, app)):
             try:
                 ev = json.loads(line)
             except json.JSONDecodeError:
                 continue
-            if ev.get("Event") != "SparkListenerTaskEnd":
+            e = ev.get("Event")
+            if e == "SparkListenerStageCompleted":
+                si = ev["Stage Info"]
+                scopes = []
+                for rr in si.get("RDD Info", []):
+                    try:
+                        nm = json.loads(rr.get("Scope", "{}")).get("name")
+                    except json.JSONDecodeError:
+                        nm = None
+                    if nm and nm not in scopes:
+                        scopes.append(nm)
+                stage_scope[si["Stage ID"]] = "|".join(scopes[:6])[:90]
+                continue
+            if e != "SparkListenerTaskEnd":
                 continue
             tm = ev.get("Task Metrics") or {}
             w = (tm.get("Shuffle Write Metrics") or {}).get(
@@ -82,6 +97,9 @@ def main() -> None:
             stage_sw[sid] = stage_sw.get(sid, 0) + w
     shutil.rmtree(evdir, ignore_errors=True)
     shutil.rmtree(store, ignore_errors=True)
+    for sid, b in sorted(stage_sw.items(), key=lambda kv: -kv[1])[:6]:
+        print(f"# stage {sid}: {b/1e6:.1f} MB shuffle-write  "
+              f"[{stage_scope.get(sid, '?')}]", file=sys.stderr)
     widest = max(stage_sw.values(), default=0)
     print(json.dumps({
         "scale": SCALE, "cpus": CPUS, "urls": urls,
