@@ -50,3 +50,30 @@ def test_dedup_clusters_keepers(spark):
     }
     # exactly one keeper per component, and it is the min id
     assert [d for d, r in sorted(rows.items()) if r.is_keeper == 1] == [1, 10]
+
+
+def test_release_checkpoint_actually_drops_blocks(spark):
+    """Version-pin the private-accessor block release (VERDICT r04 wrong
+    #2): `_release_checkpoint` reaches through `df._jdf.queryExecution()
+    .analyzed().rdd()` — a non-public path that would silently stop
+    releasing on a Spark upgrade, leaving iterative loops to accumulate
+    O(rounds) of block-manager state. This asserts the persisted-RDD
+    count measurably DROPS after release, so an upgrade that breaks the
+    accessor fails loudly here instead of silently leaking."""
+    from lyrics_crawler_spark.operators.clusters import _release_checkpoint
+
+    jsc = spark.sparkContext._jsc.sc()
+
+    def n_cached():
+        return jsc.getPersistentRDDs().size()
+
+    before = n_cached()
+    df = spark.range(1000).localCheckpoint(eager=True)
+    assert df.count() == 1000
+    assert n_cached() > before, "localCheckpoint did not register blocks"
+    _release_checkpoint(df)
+    assert n_cached() == before, (
+        "_release_checkpoint no longer drops the checkpointed RDD — the "
+        "private accessor broke (Spark upgrade?); iterative operators "
+        "will leak block-manager memory"
+    )
